@@ -1,0 +1,129 @@
+"""End-to-end renderer tests: config[0] slice (3 spheres + ground, brute force)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unityraytracer_tpu import (Camera, Material, RenderConfig, Renderer,
+                                RenderState, SceneBuilder, progressive_step,
+                                render_sample)
+from unityraytracer_tpu.render import get_tracer
+
+
+def three_sphere_scene():
+    b = SceneBuilder()
+    b.add_sphere((0, 1.0, 0), 1.0, Material(albedo=(0.8, 0.2, 0.2),
+                                            specular=(0.1, 0.1, 0.1), smoothness=0.5))
+    b.add_sphere((-2.5, 0.7, 1), 0.7, Material(albedo=(0.2, 0.8, 0.2),
+                                               specular=(0, 0, 0), smoothness=0.2))
+    b.add_sphere((2.5, 0.7, -1), 0.7, Material(albedo=(0.1, 0.1, 0.1),
+                                               specular=(0.9, 0.9, 0.9), smoothness=0.95))
+    H, W = 16, 32
+    sky = (np.linspace(1.2, 0.1, H)[:, None, None]
+           * np.array([0.5, 0.7, 1.0])).astype(np.float32)
+    b.set_skybox(np.broadcast_to(sky, (H, W, 3)).copy())
+    return b.build()
+
+
+SCENE = three_sphere_scene()
+CAM = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0), fov_y_deg=60,
+                    aspect=1.0)
+CFG = RenderConfig(width=48, height=48, spp=1, bounces=4, tracer="brute")
+
+
+def test_render_sample_finite_and_lit():
+    tracer = get_tracer(SCENE, CFG)
+    img = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(0), CFG))
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+    # Sky at top, ground at bottom: top rows bluer than red, bottom brownish.
+    top = img[:4].mean(axis=(0, 1))
+    assert top[2] > top[0]
+
+
+def test_render_deterministic_same_key():
+    tracer = get_tracer(SCENE, CFG)
+    a = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(7), CFG))
+    b = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(7), CFG))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_differs_across_keys():
+    tracer = get_tracer(SCENE, CFG)
+    a = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(1), CFG))
+    b = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(2), CFG))
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_progressive_is_running_mean():
+    state = RenderState.create(4, 4)
+    frames = [jnp.full((4, 4, 3), float(i)) for i in range(5)]
+    for f in frames:
+        state = progressive_step(state, f)
+    np.testing.assert_allclose(np.asarray(state.accum), 2.0, atol=1e-6)
+    assert int(state.n_samples) == 5
+
+
+def test_progressive_variance_shrinks():
+    # The accumulated image over many frames is smoother than one frame.
+    tracer = get_tracer(SCENE, CFG)
+    state = RenderState.create(CFG.width, CFG.height)
+    key = jax.random.key(3)
+    frames = []
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        f = render_sample(SCENE, tracer, CAM, sub, CFG)
+        frames.append(np.asarray(f))
+        state = progressive_step(state, f)
+    accum = np.asarray(state.accum)
+    np.testing.assert_allclose(accum, np.mean(frames, axis=0), atol=1e-5)
+
+
+def test_renderer_lifecycle_and_reset():
+    r = Renderer(SCENE, CAM, CFG, seed=0)
+    r.step(3)
+    assert r.sample_count == 3
+    img3 = r.image
+    assert np.isfinite(img3).all()
+    # Camera move resets accumulation (RayTraceMaster.cs:765-768).
+    r.set_camera(Camera.create(position=(0, 2, -7), look_at=(0, 1, 0),
+                               fov_y_deg=60, aspect=1.0))
+    assert r.sample_count == 0
+    r.step(1)
+    assert r.sample_count == 1
+
+
+def test_spp_mean_matches_manual_average():
+    # One frame at spp=4 should have lower variance than spp=1 (sanity).
+    cfg4 = CFG.replace(spp=4)
+    tracer = get_tracer(SCENE, cfg4)
+    img = np.asarray(render_sample(SCENE, tracer, CAM, jax.random.key(0), cfg4))
+    assert np.isfinite(img).all()
+
+
+def test_ground_disabled():
+    b = SceneBuilder()
+    b.add_sphere((0, 1.0, 0), 1.0)
+    b.set_ground(False)
+    b.set_skybox(np.ones((4, 8, 3), np.float32))
+    scene = b.build()
+    cfg = CFG.replace(bounces=1)
+    tracer = get_tracer(scene, cfg)
+    img = np.asarray(render_sample(scene, tracer, CAM, jax.random.key(0), cfg))
+    # Bottom rows see sky (1.0-ish after 1 bounce), not brown ground.
+    bottom = img[-3:].mean(axis=(0, 1))
+    np.testing.assert_allclose(bottom, 1.0, atol=0.3)
+
+
+def test_emissive_sphere_contributes():
+    b = SceneBuilder()
+    b.add_sphere((0, 1.0, 0), 1.0, Material(albedo=(0, 0, 0), specular=(0, 0, 0),
+                                            emission=(5.0, 0.0, 2.0)))
+    b.set_skybox(np.zeros((4, 8, 3), np.float32))
+    scene = b.build()
+    tracer = get_tracer(scene, CFG)
+    img = np.asarray(render_sample(scene, tracer, CAM, jax.random.key(0), CFG))
+    center = img[20:28, 20:28].mean(axis=(0, 1))
+    assert center[0] > 1.0 and center[2] > 0.4 and center[1] < 0.2

@@ -1,0 +1,103 @@
+"""Shading/BRDF behavior tests (reference Shade, RayTraceShader.compute:386-428)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from unityraytracer_tpu.ops.shade import Hit, sample_skybox, shade, MISS_T
+
+
+def _hit(t, albedo, specular, emission=(0, 0, 0), smoothness=0.5, n=(0, 1, 0)):
+    R = 1
+    return Hit(
+        t=jnp.full((R,), t, jnp.float32),
+        position=jnp.zeros((R, 3)),
+        normal=jnp.asarray([n], jnp.float32),
+        albedo=jnp.asarray([albedo], jnp.float32),
+        specular=jnp.asarray([specular], jnp.float32),
+        emission=jnp.asarray([emission], jnp.float32),
+        smoothness=jnp.full((R,), smoothness, jnp.float32),
+    )
+
+
+SKY = jnp.ones((4, 8, 3), jnp.float32) * 2.0
+
+
+def _shade1(hit, uniforms, energy=(1, 1, 1), rd=(0, -1, 0)):
+    ro = jnp.zeros((1, 3))
+    rdj = jnp.asarray([rd], jnp.float32)
+    e = jnp.asarray([energy], jnp.float32)
+    u = jnp.asarray([uniforms], jnp.float32)
+    return shade(ro, rdj, e, hit, SKY, u)
+
+
+def test_miss_returns_sky_and_kills_ray():
+    hit = _hit(MISS_T * 2, (0.5, 0.5, 0.5), (0, 0, 0))
+    _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5), energy=(0.5, 0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(radiance)[0], 1.0, atol=1e-6)  # 0.5 * sky(2)
+    np.testing.assert_allclose(np.asarray(energy)[0], 0.0)
+
+
+def test_emission_weighted_by_energy_before_bounce():
+    hit = _hit(1.0, (0.2, 0.2, 0.2), (0, 0, 0), emission=(3, 0, 1))
+    _, _, _, radiance = _shade1(hit, (0.9, 0.5, 0.5), energy=(0.5, 1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(radiance)[0], [1.5, 0.0, 1.0], atol=1e-6)
+
+
+def test_diffuse_energy_update():
+    # Pure diffuse material: diffChance = 1, energy *= albedo.
+    hit = _hit(1.0, (0.6, 0.3, 0.1), (0, 0, 0))
+    _, rd, energy, _ = _shade1(hit, (0.5, 0.3, 0.7))
+    np.testing.assert_allclose(np.asarray(energy)[0], [0.6, 0.3, 0.1], atol=1e-5)
+    # New direction must be in the upper hemisphere of the normal.
+    assert np.asarray(rd)[0, 1] > 0
+
+
+def test_albedo_clamped_by_specular():
+    # albedo = min(1 - spec, albedo): spec (0.8,...) clamps albedo 0.9 -> 0.2.
+    hit = _hit(1.0, (0.9, 0.9, 0.9), (0.8, 0.8, 0.8))
+    # roulette = 0.99 -> diffuse branch (specChance = 0.8, diffChance = 0.2).
+    _, _, energy, _ = _shade1(hit, (0.99, 0.5, 0.5))
+    # diffuse weight = albedo/diffChance_normalized = 0.2 / 0.2 = 1.
+    np.testing.assert_allclose(np.asarray(energy)[0], 1.0, atol=1e-5)
+
+
+def test_specular_mirror_reflects():
+    # Perfectly smooth specular: alpha = 1000, lobe is tight around reflect.
+    hit = _hit(1.0, (0, 0, 0), (1.0, 1.0, 1.0), smoothness=1.0)
+    rd_in = np.array([1.0, -1.0, 0.0]) / np.sqrt(2)
+    # u1 = 1-eps -> cos_t ~ 1 -> new dir ~ reflect(rd, n) = (1, 1, 0)/sqrt(2)
+    _, rd, energy, _ = _shade1(hit, (0.0, 0.999999, 0.0), rd=tuple(rd_in))
+    want = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
+    np.testing.assert_allclose(np.asarray(rd)[0], want, atol=5e-3)
+    assert np.all(np.asarray(energy)[0] > 0.5)
+
+
+def test_black_material_terminates():
+    hit = _hit(1.0, (0, 0, 0), (0, 0, 0))
+    _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(energy)[0], 0.0)
+    np.testing.assert_allclose(np.asarray(radiance)[0], 0.0)
+    assert np.isfinite(np.asarray(energy)).all()
+
+
+def test_skybox_poles_and_wrap():
+    sky = np.zeros((8, 16, 3), np.float32)
+    sky[0] = (1, 0, 0)    # top rows = +y pole
+    sky[-1] = (0, 1, 0)   # bottom rows = -y pole
+    skyj = jnp.asarray(sky)
+    up = sample_skybox(skyj, jnp.asarray([[0.0, 1.0, 0.0]]))
+    down = sample_skybox(skyj, jnp.asarray([[0.0, -1.0, 0.0]]))
+    assert np.asarray(up)[0, 0] > 0.9 and np.asarray(up)[0, 1] < 0.1
+    assert np.asarray(down)[0, 1] > 0.9 and np.asarray(down)[0, 0] < 0.1
+    # Horizontal directions land mid-rows; u wraps without NaN.
+    for d in ([1, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 0, -1]):
+        v = np.asarray(sample_skybox(skyj, jnp.asarray([d], jnp.float32)))
+        assert np.isfinite(v).all()
+
+
+def test_shade_no_nans_on_garbage_miss_lanes():
+    # Miss lanes carry zero normals; shade must stay finite.
+    hit = _hit(MISS_T * 2, (0, 0, 0), (0, 0, 0), n=(0, 0, 0))
+    ro, rd, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
+    for a in (ro, rd, energy, radiance):
+        assert np.isfinite(np.asarray(a)).all()

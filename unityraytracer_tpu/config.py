@@ -1,0 +1,59 @@
+"""Static render configuration.
+
+The reference exposes its knobs as Unity-serialized MonoBehaviour fields
+(`RayTraceMaster.cs:8-18`: ``numBounces``, ``numRays``, resolution implied by the
+render target). Here they live in a hashable frozen dataclass that is passed as a
+static argument to the jitted frame step, so changing a knob triggers a clean
+recompile rather than dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) rendering knobs.
+
+    Attributes:
+      width/height: framebuffer size in pixels.
+      spp: rays launched per pixel per frame (reference ``numRays``,
+        `RayTraceMaster.cs:18`).
+      bounces: path depth (reference ``numBounces``, `RayTraceMaster.cs:17`;
+        code default 8).
+      tracer: which intersection backend to use:
+        - "brute": dense jnp ray x primitive tests (correctness reference)
+        - "bvh": pure-jnp masked stackless LBVH traversal
+        - "cluster": dense cluster-culling tracer (jnp, XLA-fused)
+        - "pallas": fused Pallas trace kernel over ray tiles (fast path)
+      ray_chunk: number of rays processed per tracer chunk (bounds peak memory
+        of the (rays x primitives) brute-force product).
+      cluster_size: triangles per LBVH leaf cluster (fast path granularity).
+      wavefront: if True, sort rays alive-first between bounces and skip
+        all-dead tiles (the TPU analog of the early-out at
+        `RayTraceShader.compute:457-460`).
+    """
+
+    width: int = 256
+    height: int = 256
+    spp: int = 1
+    bounces: int = 8
+    tracer: str = "brute"
+    ray_chunk: int = 8192
+    cluster_size: int = 64
+    wavefront: bool = False
+    # Optional cap on traversal iterations for the jnp BVH path. None = 2*depth.
+    max_traversal_steps: Optional[int] = None
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def num_rays(self) -> int:
+        return self.width * self.height * self.spp
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
