@@ -1,0 +1,149 @@
+"""Content layer tests: primitives, OBJ IO, HDR IO, smooth normals, fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unityraytracer_tpu.scene import compute_smooth_normals
+from unityraytracer_tpu.models import primitives as P
+from unityraytracer_tpu.models import fixtures
+from unityraytracer_tpu.models.obj import load_obj, save_obj
+from unityraytracer_tpu.models.skybox import (float_to_rgbe, gradient_sky,
+                                              load_hdr, rgbe_to_float,
+                                              save_hdr, sun_sky)
+
+
+@pytest.mark.parametrize("gen,kw", [
+    (P.quad, {}), (P.cube, {}), (P.uv_sphere, {}), (P.icosphere, {}),
+    (P.cylinder, {}), (P.capsule, {}), (P.plane, {}),
+])
+def test_primitive_well_formed(gen, kw):
+    v, f, n = gen(**kw)
+    assert v.ndim == 2 and v.shape[1] == 3
+    assert f.ndim == 2 and f.shape[1] == 3
+    assert n.shape == v.shape
+    assert f.min() >= 0 and f.max() < len(v)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-4)
+    # Winding: geometric normals align with vertex normals (outward faces).
+    tri = v[f]
+    gn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    an = n[f].mean(axis=1)
+    assert (np.sum(gn * an, axis=1) >= -1e-6).all()
+
+
+def test_sphere_primitives_on_sphere():
+    for gen in (P.uv_sphere, P.icosphere):
+        v, f, n = gen()
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1), 0.5, atol=1e-5)
+
+
+def test_cube_extents():
+    v, _, _ = P.cube()
+    np.testing.assert_allclose(v.min(0), -0.5)
+    np.testing.assert_allclose(v.max(0), 0.5)
+
+
+def test_cylinder_capsule_extents():
+    v, _, _ = P.cylinder()
+    np.testing.assert_allclose(v[:, 1].min(), -1.0, atol=1e-6)
+    np.testing.assert_allclose(v[:, 1].max(), 1.0, atol=1e-6)
+    v, _, _ = P.capsule()
+    np.testing.assert_allclose(v[:, 1].min(), -1.0, atol=1e-6)
+    np.testing.assert_allclose(v[:, 1].max(), 1.0, atol=1e-6)
+
+
+def test_smooth_normals_sphere():
+    # Smooth normals of an icosphere ~ radial directions.
+    v, f, _ = P.icosphere(2)
+    n = compute_smooth_normals(v, f)
+    radial = v / np.linalg.norm(v, axis=1, keepdims=True)
+    dots = np.sum(n * radial, axis=1)
+    assert dots.min() > 0.98
+
+
+def test_smooth_normals_welds_duplicates():
+    # Two triangles sharing an edge via duplicated vertices: welded normals
+    # must agree on the shared positions (ComputeNormals semantics).
+    verts = np.array([
+        [0, 0, 0], [1, 0, 0], [0, 0, 1],     # tri A
+        [1, 0, 0], [1, 0, 1], [0, 0, 1],     # tri B (duplicates of 1 and 2)
+    ], np.float32)
+    faces = np.array([[0, 2, 1], [3, 5, 4]])
+    n = compute_smooth_normals(verts, faces)
+    np.testing.assert_allclose(n[1], n[3], atol=1e-6)
+    np.testing.assert_allclose(n[2], n[5], atol=1e-6)
+
+
+def test_obj_roundtrip(tmp_path):
+    v, f, n = P.icosphere(1)
+    path = str(tmp_path / "ico.obj")
+    save_obj(path, v, f, n)
+    v2, f2, n2 = load_obj(path)
+    np.testing.assert_allclose(v, v2, atol=1e-5)
+    np.testing.assert_array_equal(f, f2)
+    np.testing.assert_allclose(n, n2, atol=1e-5)
+
+
+def test_obj_polygon_fan_and_forms():
+    lines = [
+        "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0",
+        "f 1 2 3 4",           # quad -> 2 tris
+        "f 1/1 2/2 3/3",       # v/vt form
+        "f -4 -3 -2",          # negative indices
+    ]
+    v, f, n = load_obj(lines)
+    assert len(v) == 4
+    assert len(f) == 4
+    assert n is None  # not all faces had normals
+    assert f.min() >= 0 and f.max() <= 3
+
+
+def test_hdr_roundtrip(tmp_path):
+    img = sun_sky(32, 64).astype(np.float32)
+    path = str(tmp_path / "sky.hdr")
+    save_hdr(path, img)
+    back = load_hdr(path)
+    assert back.shape == img.shape
+    # RGBE has ~1% mantissa precision.
+    rel = np.abs(back - img) / np.maximum(img, 1e-3)
+    assert np.median(rel) < 0.01
+    assert rel.max() < 0.05
+
+
+def test_rgbe_zero_and_bright():
+    # Note: RGBE shares one exponent, so channels >256x dimmer than the max
+    # quantize to zero — only check channels within the shared dynamic range.
+    vals = np.array([[[0, 0, 0], [1000.0, 500.0, 30.0]]], np.float32)
+    back = rgbe_to_float(float_to_rgbe(vals))
+    np.testing.assert_allclose(back[0, 0], 0.0)
+    np.testing.assert_allclose(back[0, 1], vals[0, 1], rtol=0.02, atol=4.0)
+
+
+def test_fixture_scene1_inventory():
+    s = fixtures.scene1()
+    assert s.num_spheres == 8           # Scene1.unity sphere-collider count
+    assert s.num_triangles > 50         # 2 quads + 2 cubes + cylinder
+    assert float(np.asarray(s.ground_enabled)) == 1.0
+    # One emissive sphere (Scene1.unity:1038).
+    em = np.asarray(s.materials.emission)
+    assert (em.max(axis=1) > 0.1).sum() == 1
+
+
+def test_fixture_sample_scene_inventory():
+    s = fixtures.sample_scene()
+    assert s.num_spheres == 3
+    assert s.num_triangles > 20
+
+
+def test_bench_scene_size():
+    s = fixtures.bench_scene(n_tris=5000)
+    assert s.num_triangles >= 5000
+
+
+def test_gradient_sky_shape():
+    sky = gradient_sky(16, 32)
+    assert sky.shape == (16, 32, 3)
+    assert (sky >= 0).all()
+    # Zenith brighter blue than nadir.
+    assert sky[0, 0, 2] > sky[-1, 0, 2]

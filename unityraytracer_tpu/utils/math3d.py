@@ -60,6 +60,28 @@ def normal_matrix(mat4: np.ndarray) -> np.ndarray:
     return np.linalg.inv(lin).T.astype(np.float32)
 
 
+def quat_to_matrix(q) -> np.ndarray:
+    """Unity quaternion (x, y, z, w) -> 3x3 rotation matrix (numpy)."""
+    x, y, z, w = [float(v) for v in q]
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+
+
+def trs_from_quat(translation=(0, 0, 0), quaternion=(0, 0, 0, 1),
+                  scale=(1, 1, 1)) -> np.ndarray:
+    """Unity-style TRS local-to-world from a quaternion rotation."""
+    sx, sy, sz = (scale, scale, scale) if np.isscalar(scale) else scale
+    m = np.eye(4, dtype=np.float64)
+    m[:3, :3] = quat_to_matrix(quaternion) @ np.diag([sx, sy, sz])
+    m[:3, 3] = translation
+    return m.astype(np.float32)
+
+
 def trs_matrix(translation=(0, 0, 0), rotation_deg=(0, 0, 0), scale=(1, 1, 1)) -> np.ndarray:
     """Unity-style TRS local-to-world matrix (numpy, host-side).
 
