@@ -1,0 +1,100 @@
+"""Headline benchmark: Mrays/s/chip at 1080p on a 100k-triangle LBVH scene.
+
+Runs the full progressive frame step (camera rays -> fused Pallas trace ->
+roulette shade, x bounces) on the flagship path and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/100}
+
+vs_baseline is measured against BASELINE.json's north-star target of
+100 Mrays/sec/chip (the reference publishes no numbers of its own —
+README.md:2 only says it is "very slow"). Rays are counted as dispatched
+trace slots: width x height x spp x bounces per frame.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    from unityraytracer_tpu import RenderConfig, RenderState
+    from unityraytracer_tpu.models import fixtures
+    from unityraytracer_tpu.ops.bvh import build_accel
+    from unityraytracer_tpu.render import get_tracer, progressive_step, render_sample
+
+    if on_tpu:
+        cfg = RenderConfig(width=1920, height=1080, spp=1, bounces=8,
+                           tracer="pallas", wavefront=True)
+        n_tris = 100_000
+        iters, warmup = 5, 2
+    else:
+        # CPU fallback (driver sanity off-TPU): tiny interpret-mode config.
+        cfg = RenderConfig(width=64, height=64, spp=1, bounces=2,
+                           tracer="cluster", cluster_size=32, ray_chunk=4096)
+        n_tris = 2_000
+        iters, warmup = 1, 1
+
+    t0 = time.time()
+    scene = fixtures.bench_scene(n_tris=n_tris)
+    camera_kw = dict(position=(0.0, 14.0, -42.0), look_at=(0.0, 2.0, 0.0),
+                     fov_y_deg=60.0, aspect=cfg.width / cfg.height)
+    from unityraytracer_tpu import Camera
+    camera = Camera.create(**camera_kw)
+    accel = build_accel(scene, cfg)
+    scene = jax.device_put(scene)
+    accel = jax.device_put(accel)
+    build_s = time.time() - t0
+
+    @jax.jit
+    def step(state, scene, camera, accel, key):
+        tracer = get_tracer(scene, cfg, accel)
+        frame = render_sample(scene, tracer, camera, key, cfg)
+        return progressive_step(state, frame)
+
+    state = RenderState.create(cfg.width, cfg.height)
+    key = jax.random.key(0)
+
+    t0 = time.time()
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state = step(state, scene, camera, accel, sub)
+    jax.block_until_ready(state.accum)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state = step(state, scene, camera, accel, sub)
+        jax.block_until_ready(state.accum)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    rays_per_frame = cfg.width * cfg.height * cfg.spp * cfg.bounces
+    mrays = rays_per_frame / best / 1e6
+    ms_frame = best * 1000.0
+
+    img = np.asarray(jax.device_get(state.accum))
+    assert np.isfinite(img).all(), "benchmark produced non-finite pixels"
+
+    result = {
+        "metric": (f"Mrays/s/chip @ {cfg.width}x{cfg.height}, "
+                   f"{scene.num_triangles}-tri LBVH scene, {cfg.bounces} bounces "
+                   f"({'TPU ' + jax.devices()[0].device_kind if on_tpu else 'CPU fallback'})"),
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "ms_per_frame": round(ms_frame, 2),
+        "accel_build_s": round(build_s, 2),
+        "compile_s": round(compile_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,19 @@
 """Test harness config: force CPU with 8 virtual devices.
 
 Multi-chip logic is validated on a virtual device mesh (the analog of testing
-multi-node collectives without a cluster); kernels run in interpret mode.
-Must run before any jax import.
+multi-node collectives without a cluster); Pallas kernels run in interpret
+mode. Must run before any test imports jax. Note: the axon TPU plugin
+overrides the JAX_PLATFORMS env var, so the platform is forced via
+jax.config as well.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -36,7 +36,9 @@ def _random_rays(R, seed=0):
     ro = rng.uniform(-4, 4, (R, 3)).astype(np.float32) + np.array([0, 2, -6], np.float32)
     rd = rng.normal(size=(R, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
-    return jnp.asarray(ro), jnp.asarray(rd)
+    # Rays are component-SoA tuples (ops/vec.py).
+    to3 = lambda a: tuple(jnp.asarray(a[:, k]) for k in range(3))
+    return to3(ro), to3(rd)
 
 
 def test_morton_orders_locality():
@@ -73,9 +75,11 @@ def test_accel_matches_brute(tracer):
     ha = make_accel_tracer(SCENE, accel, cfg)(ro, rd)
     np.testing.assert_allclose(np.asarray(hb.t), np.asarray(ha.t),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(hb.normal), np.asarray(ha.normal),
-                               atol=1e-3)
-    np.testing.assert_array_equal(np.asarray(hb.albedo), np.asarray(ha.albedo))
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(hb.normal[k]),
+                                   np.asarray(ha.normal[k]), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(hb.albedo[k]),
+                                      np.asarray(ha.albedo[k]))
 
 
 def test_single_cluster_scene():

@@ -11,7 +11,8 @@ def rays(o, d):
     o = np.atleast_2d(np.asarray(o, np.float32))
     d = np.asarray(d, np.float32)
     d = np.atleast_2d(d / np.linalg.norm(d, axis=-1, keepdims=True))
-    return jnp.asarray(o), jnp.asarray(d)
+    to3 = lambda a: tuple(jnp.asarray(a[:, k]) for k in range(3))
+    return to3(o), to3(d)  # component-SoA rays (ops/vec.py)
 
 
 def test_ground_hit_and_miss():

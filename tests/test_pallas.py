@@ -1,0 +1,142 @@
+"""Pallas trace kernel tests (interpret mode on CPU) + wavefront parking."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unityraytracer_tpu import Camera, Material, RenderConfig, SceneBuilder
+from unityraytracer_tpu.models import primitives as P
+from unityraytracer_tpu.ops.bvh import build_cluster_accel
+from unityraytracer_tpu.ops.pallas_trace import (TILE, make_pallas_tracer,
+                                                 prepare_pallas_accel)
+from unityraytracer_tpu.ops.trace import trace_brute
+from unityraytracer_tpu.render import get_tracer, render_sample
+from unityraytracer_tpu.utils.math3d import trs_matrix
+
+
+def _scene(n_sub=2):
+    b = SceneBuilder()
+    v, f, n = P.icosphere(n_sub)
+    b.add_mesh(v, f, transform=trs_matrix((0, 1, 0), (0, 30, 0), 2.0),
+               material=Material(albedo=(0.8, 0.3, 0.2), specular=(0.05,) * 3))
+    v2, f2, _ = P.cube()
+    b.add_mesh(v2, f2, transform=trs_matrix((2.5, 0.5, 0.5), (0, 20, 0)))
+    b.add_sphere((-2.5, 0.7, 0), 0.7)
+    b.set_skybox(np.ones((4, 8, 3), np.float32) * 0.6)
+    return b.build()
+
+
+SCENE = _scene()
+ACCEL = build_cluster_accel(SCENE.triangles, cluster_size=64, use_native=False)
+CFG = RenderConfig(tracer="pallas")
+
+
+def _to3(a):
+    return tuple(jnp.asarray(a[:, k]) for k in range(3))
+
+
+def _rays(R, seed=0, spread=4.0):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-spread, spread, (R, 3)).astype(np.float32) \
+        + np.array([0, 2, -6], np.float32)
+    rd = rng.normal(size=(R, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return _to3(ro), _to3(rd)
+
+
+def _assert_matches_brute(scene, accel, ro, rd):
+    hb = trace_brute(scene, ro, rd)
+    hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
+                               rtol=1e-4, atol=1e-4)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(hb.normal[k]),
+                                   np.asarray(hp.normal[k]), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(hb.albedo[k]),
+                                      np.asarray(hp.albedo[k]))
+
+
+def test_kernel_matches_brute_non_tile_multiple():
+    ro, rd = _rays(TILE + 137)  # exercises ray padding
+    _assert_matches_brute(SCENE, ACCEL, ro, rd)
+
+
+def test_kernel_matches_brute_coherent_rays():
+    # Camera-like coherent tiles (all rays share origin).
+    R = 2 * TILE
+    side = int(np.sqrt(R))
+    uv = np.stack(np.meshgrid(np.linspace(-1, 1, side),
+                              np.linspace(-1, 1, R // side)), -1).reshape(-1, 2)
+    d = np.concatenate([uv, np.ones((R, 1))], 1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = np.tile(np.array([[0, 1.5, -6]], np.float32), (R, 1))
+    _assert_matches_brute(SCENE, ACCEL, _to3(ro), _to3(d))
+
+
+def test_kernel_multi_page_scene():
+    # >128 kernel clusters => multiple pages. 20k tris -> 2 pages.
+    b = SceneBuilder()
+    v, f, n = P.icosphere(3)
+    rng = np.random.default_rng(1)
+    for i in range(16):
+        pos = rng.uniform(-6, 6, 3)
+        pos[1] = abs(pos[1]) + 0.5
+        b.add_mesh(v, f, transform=trs_matrix(tuple(pos), (0, 0, 0), 1.0))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    assert scene.num_triangles > 128 * 128  # forces n_pages >= 2
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    ro, rd = _rays(512, seed=5, spread=7.0)
+    hb = trace_brute(scene, ro, rd)
+    hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_prepare_pallas_accel_shapes():
+    pa = prepare_pallas_accel(ACCEL)
+    assert pa.pgb.shape == (8, 128)
+    assert len(pa.cl_cols) == 6 and len(pa.tri_rows) == 9
+    G = pa.cl_cols[0].shape[0]
+    assert pa.n_pages == G
+    Cp = pa.tri_rows[0].shape[0]
+    assert Cp == G * 128
+    assert pa.tri_rows[0].shape[1] == 128
+
+
+def test_render_through_pallas_tracer():
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=2, tracer="pallas",
+                       ray_chunk=1024)
+    pa = prepare_pallas_accel(ACCEL)
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    tracer = get_tracer(SCENE, cfg, pa)
+    img = np.asarray(render_sample(SCENE, tracer, cam, jax.random.key(0), cfg))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+
+
+def test_wavefront_parking_preserves_image():
+    cfg = RenderConfig(width=24, height=24, spp=1, bounces=3,
+                       tracer="cluster", cluster_size=32, ray_chunk=576)
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    tracer = get_tracer(SCENE, cfg, ACCEL)
+    img_a = np.asarray(render_sample(SCENE, tracer, cam, jax.random.key(2), cfg))
+    cfg_w = cfg.replace(wavefront=True)
+    tracer_w = get_tracer(SCENE, cfg_w, ACCEL)
+    img_b = np.asarray(render_sample(SCENE, tracer_w, cam, jax.random.key(2),
+                                     cfg_w))
+    # Parking dead rays must not change any radiance (dead rays contribute 0).
+    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out.accum)).all()
+    ge.dryrun_multichip(8)

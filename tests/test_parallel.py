@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on an 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from unityraytracer_tpu import Camera, Material, RenderConfig, SceneBuilder
+from unityraytracer_tpu.render import Renderer
+from unityraytracer_tpu.parallel.sharding import (ShardedRenderer,
+                                                  create_sharded_state,
+                                                  make_mesh, make_sharded_step)
+
+
+def _scene():
+    b = SceneBuilder()
+    b.add_sphere((0, 1.0, 0), 1.0, Material(albedo=(0.8, 0.2, 0.2),
+                                            specular=(0.1,) * 3))
+    b.add_sphere((-2, 0.6, 1), 0.6, Material(albedo=(0.2, 0.7, 0.3),
+                                             specular=(0, 0, 0)))
+    b.set_skybox(np.ones((8, 16, 3), np.float32) * 0.7)
+    return b.build()
+
+
+SCENE = _scene()
+CAM = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0), fov_y_deg=60,
+                    aspect=1.0)
+CFG = RenderConfig(width=32, height=32, spp=1, bounces=2, tracer="brute",
+                   ray_chunk=4096)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["devices"] == 8
+
+
+def test_rows_sharding_matches_single_device_statistically():
+    r8 = ShardedRenderer(SCENE, CAM, CFG, seed=0, mode="rows").step(6)
+    r1 = Renderer(SCENE, CAM, CFG, seed=1).step(6)
+    img8, img1 = r8.image, r1.image
+    assert img8.shape == img1.shape
+    assert np.isfinite(img8).all()
+    # Different RNG streams -> not equal, but the same scene converges to the
+    # same mean radiance.
+    assert abs(img8.mean() - img1.mean()) < 0.03
+    # Band boundaries must be seamless: adjacent-row mean jump across the
+    # 8 shard boundaries is no larger than within-shard jumps.
+    row_diff = np.abs(np.diff(img8.mean(axis=(1, 2))))
+    h_local = CFG.height // 8
+    boundary = row_diff[h_local - 1::h_local]
+    assert boundary.mean() < row_diff.mean() * 3 + 0.05
+
+
+def test_rows_state_is_sharded():
+    mesh = make_mesh()
+    state = create_sharded_state(CFG, mesh)
+    shardings = {str(d.sharding) for d in [state.accum]}
+    assert any("devices" in s for s in shardings)
+
+
+def test_spp_mode_replicated_and_deterministic_shape():
+    r = ShardedRenderer(SCENE, CAM, CFG, seed=3, mode="spp").step(2)
+    assert r.sample_count == 2
+    assert np.isfinite(r.image).all()
+
+
+def test_spp_mode_lower_variance_than_single():
+    # 8-way pmean per frame should be close to an 8-frame single-device mean.
+    r_spp = ShardedRenderer(SCENE, CAM, CFG, seed=0, mode="spp").step(1)
+    r_one = Renderer(SCENE, CAM, CFG, seed=0).step(8)
+    assert abs(r_spp.image.mean() - r_one.image.mean()) < 0.04
+
+
+def test_height_not_divisible_raises():
+    mesh = make_mesh()
+    bad = CFG.replace(height=30)
+    with pytest.raises(ValueError):
+        create_sharded_state(bad, mesh)
+
+
+def test_accel_tracer_under_shard_map():
+    cfg = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024)
+    r = ShardedRenderer(SCENE, CAM, cfg, seed=0, mode="rows").step(2)
+    assert np.isfinite(r.image).all()
+    assert r.sample_count == 2

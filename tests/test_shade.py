@@ -1,4 +1,7 @@
-"""Shading/BRDF behavior tests (reference Shade, RayTraceShader.compute:386-428)."""
+"""Shading/BRDF behavior tests (reference Shade, RayTraceShader.compute:386-428).
+
+The shading API is component-SoA (Vec3 tuples of (N,) arrays; ops/vec.py).
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -6,16 +9,19 @@ import jax.numpy as jnp
 from unityraytracer_tpu.ops.shade import Hit, sample_skybox, shade, MISS_T
 
 
+def _v3(t):
+    return tuple(jnp.asarray([c], jnp.float32) for c in t)
+
+
 def _hit(t, albedo, specular, emission=(0, 0, 0), smoothness=0.5, n=(0, 1, 0)):
-    R = 1
     return Hit(
-        t=jnp.full((R,), t, jnp.float32),
-        position=jnp.zeros((R, 3)),
-        normal=jnp.asarray([n], jnp.float32),
-        albedo=jnp.asarray([albedo], jnp.float32),
-        specular=jnp.asarray([specular], jnp.float32),
-        emission=jnp.asarray([emission], jnp.float32),
-        smoothness=jnp.full((R,), smoothness, jnp.float32),
+        t=jnp.full((1,), t, jnp.float32),
+        position=_v3((0, 0, 0)),
+        normal=_v3(n),
+        albedo=_v3(albedo),
+        specular=_v3(specular),
+        emission=_v3(emission),
+        smoothness=jnp.full((1,), smoothness, jnp.float32),
     )
 
 
@@ -23,33 +29,37 @@ SKY = jnp.ones((4, 8, 3), jnp.float32) * 2.0
 
 
 def _shade1(hit, uniforms, energy=(1, 1, 1), rd=(0, -1, 0)):
-    ro = jnp.zeros((1, 3))
-    rdj = jnp.asarray([rd], jnp.float32)
-    e = jnp.asarray([energy], jnp.float32)
-    u = jnp.asarray([uniforms], jnp.float32)
+    ro = _v3((0, 0, 0))
+    rdj = _v3(rd)
+    e = _v3(energy)
+    u = tuple(jnp.asarray([x], jnp.float32) for x in uniforms)
     return shade(ro, rdj, e, hit, SKY, u)
+
+
+def _np3(v):
+    return np.stack([np.asarray(c) for c in v], axis=-1)[0]
 
 
 def test_miss_returns_sky_and_kills_ray():
     hit = _hit(MISS_T * 2, (0.5, 0.5, 0.5), (0, 0, 0))
     _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5), energy=(0.5, 0.5, 0.5))
-    np.testing.assert_allclose(np.asarray(radiance)[0], 1.0, atol=1e-6)  # 0.5 * sky(2)
-    np.testing.assert_allclose(np.asarray(energy)[0], 0.0)
+    np.testing.assert_allclose(_np3(radiance), 1.0, atol=1e-6)  # 0.5 * sky(2)
+    np.testing.assert_allclose(_np3(energy), 0.0)
 
 
 def test_emission_weighted_by_energy_before_bounce():
     hit = _hit(1.0, (0.2, 0.2, 0.2), (0, 0, 0), emission=(3, 0, 1))
     _, _, _, radiance = _shade1(hit, (0.9, 0.5, 0.5), energy=(0.5, 1.0, 1.0))
-    np.testing.assert_allclose(np.asarray(radiance)[0], [1.5, 0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(_np3(radiance), [1.5, 0.0, 1.0], atol=1e-6)
 
 
 def test_diffuse_energy_update():
     # Pure diffuse material: diffChance = 1, energy *= albedo.
     hit = _hit(1.0, (0.6, 0.3, 0.1), (0, 0, 0))
     _, rd, energy, _ = _shade1(hit, (0.5, 0.3, 0.7))
-    np.testing.assert_allclose(np.asarray(energy)[0], [0.6, 0.3, 0.1], atol=1e-5)
+    np.testing.assert_allclose(_np3(energy), [0.6, 0.3, 0.1], atol=1e-5)
     # New direction must be in the upper hemisphere of the normal.
-    assert np.asarray(rd)[0, 1] > 0
+    assert float(rd[1][0]) > 0
 
 
 def test_albedo_clamped_by_specular():
@@ -58,7 +68,7 @@ def test_albedo_clamped_by_specular():
     # roulette = 0.99 -> diffuse branch (specChance = 0.8, diffChance = 0.2).
     _, _, energy, _ = _shade1(hit, (0.99, 0.5, 0.5))
     # diffuse weight = albedo/diffChance_normalized = 0.2 / 0.2 = 1.
-    np.testing.assert_allclose(np.asarray(energy)[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(_np3(energy), 1.0, atol=1e-5)
 
 
 def test_specular_mirror_reflects():
@@ -68,16 +78,16 @@ def test_specular_mirror_reflects():
     # u1 = 1-eps -> cos_t ~ 1 -> new dir ~ reflect(rd, n) = (1, 1, 0)/sqrt(2)
     _, rd, energy, _ = _shade1(hit, (0.0, 0.999999, 0.0), rd=tuple(rd_in))
     want = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
-    np.testing.assert_allclose(np.asarray(rd)[0], want, atol=5e-3)
-    assert np.all(np.asarray(energy)[0] > 0.5)
+    np.testing.assert_allclose(_np3(rd), want, atol=5e-3)
+    assert np.all(_np3(energy) > 0.5)
 
 
 def test_black_material_terminates():
     hit = _hit(1.0, (0, 0, 0), (0, 0, 0))
     _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
-    np.testing.assert_allclose(np.asarray(energy)[0], 0.0)
-    np.testing.assert_allclose(np.asarray(radiance)[0], 0.0)
-    assert np.isfinite(np.asarray(energy)).all()
+    np.testing.assert_allclose(_np3(energy), 0.0)
+    np.testing.assert_allclose(_np3(radiance), 0.0)
+    assert np.isfinite(_np3(energy)).all()
 
 
 def test_skybox_poles_and_wrap():
@@ -85,14 +95,14 @@ def test_skybox_poles_and_wrap():
     sky[0] = (1, 0, 0)    # top rows = +y pole
     sky[-1] = (0, 1, 0)   # bottom rows = -y pole
     skyj = jnp.asarray(sky)
-    up = sample_skybox(skyj, jnp.asarray([[0.0, 1.0, 0.0]]))
-    down = sample_skybox(skyj, jnp.asarray([[0.0, -1.0, 0.0]]))
-    assert np.asarray(up)[0, 0] > 0.9 and np.asarray(up)[0, 1] < 0.1
-    assert np.asarray(down)[0, 1] > 0.9 and np.asarray(down)[0, 0] < 0.1
+    up = _np3(sample_skybox(skyj, _v3((0.0, 1.0, 0.0))))
+    down = _np3(sample_skybox(skyj, _v3((0.0, -1.0, 0.0))))
+    assert up[0] > 0.9 and up[1] < 0.1
+    assert down[1] > 0.9 and down[0] < 0.1
     # Horizontal directions land mid-rows; u wraps without NaN.
     for d in ([1, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 0, -1]):
-        v = np.asarray(sample_skybox(skyj, jnp.asarray([d], jnp.float32)))
-        assert np.isfinite(v).all()
+        out = _np3(sample_skybox(skyj, _v3(d)))
+        assert np.isfinite(out).all()
 
 
 def test_shade_no_nans_on_garbage_miss_lanes():
@@ -100,4 +110,4 @@ def test_shade_no_nans_on_garbage_miss_lanes():
     hit = _hit(MISS_T * 2, (0, 0, 0), (0, 0, 0), n=(0, 0, 0))
     ro, rd, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
     for a in (ro, rd, energy, radiance):
-        assert np.isfinite(np.asarray(a)).all()
+        assert np.isfinite(_np3(a)).all()

@@ -80,43 +80,59 @@ class Camera:
         return self.cam_to_world[:3, 3]
 
 
-def camera_rays(camera: Camera, uv: jnp.ndarray, lens_uv=None):
-    """Generate world-space rays for NDC coordinates.
+def camera_rays_soa(camera: Camera, u, v, lens_u=None, lens_v=None):
+    """Generate world-space rays for NDC coordinates, component-SoA.
+
+    All ray math stays in separate per-component arrays (see ops/vec.py for
+    the TPU layout rationale — stacked (..., 3) intermediates force padded
+    layouts at framebuffer scale).
 
     Args:
       camera: Camera pytree.
-      uv: (..., 2) normalized device coords in [-1, 1] (x right, y up), already
-        jittered by the caller (the reference jitters with rand() + per-frame
-        ``_PixelOffset``, RayTraceShader.compute:448-449).
-      lens_uv: optional (..., 2) unit-disk samples for thin-lens DoF.
+      u, v: (...,) normalized device coords in [-1, 1] (x right, y up),
+        already jittered by the caller (the reference jitters with rand() +
+        per-frame ``_PixelOffset``, RayTraceShader.compute:448-449).
+      lens_u, lens_v: optional (...,) unit-disk samples for thin-lens DoF.
 
     Returns:
-      (origins, directions): each (..., 3), directions unit length.
+      (origin, direction): two 3-tuples of (...,) components, unit directions.
     """
-    R = camera.cam_to_world[:3, :3]
-    origin = camera.cam_to_world[:3, 3]
+    from .ops import vec
 
+    m = camera.cam_to_world
     # View-space direction at the image plane (z=1): the full effect of the
     # reference's _CameraInverseProjection * (uv, 0, 1) followed by normalize.
-    dx = uv[..., 0] * camera.tan_half_fov * camera.aspect
-    dy = uv[..., 1] * camera.tan_half_fov
-    d_view = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
-    d_world = d_view @ R.T
-    d_world = normalize(d_world)
+    dx = u * (camera.tan_half_fov * camera.aspect)
+    dy = v * camera.tan_half_fov
+    # World = R @ (dx, dy, 1); R columns are (right, up, forward).
+    d = (m[0, 0] * dx + m[0, 1] * dy + m[0, 2],
+         m[1, 0] * dx + m[1, 1] * dy + m[1, 2],
+         m[2, 0] * dx + m[2, 1] * dy + m[2, 2])
+    d = vec.normalize(d)
+    o = tuple(jnp.broadcast_to(m[k, 3], d[0].shape) for k in range(3))
 
-    o = jnp.broadcast_to(origin, d_world.shape)
-    if lens_uv is not None:
+    if lens_u is not None:
         # Thin lens: offset origin on the lens disk, refocus on the plane
         # perpendicular to forward at depth focus_dist.
-        forward = camera.cam_to_world[:3, 2]
-        cos_fwd = jnp.sum(d_world * forward, axis=-1)
+        fwd = (m[0, 2], m[1, 2], m[2, 2])
+        cos_fwd = vec.dot(d, fwd)
         focus_t = camera.focus_dist / jnp.maximum(cos_fwd, 1e-6)
-        focal_pt = o + d_world * focus_t[..., None]
-        lens_off = (camera.cam_to_world[:3, 0] * (lens_uv[..., :1] * camera.aperture)
-                    + camera.cam_to_world[:3, 1] * (lens_uv[..., 1:2] * camera.aperture))
-        o = o + lens_off
-        d_world = normalize(focal_pt - o)
-    return o, d_world
+        focal = vec.add(o, vec.scale(d, focus_t))
+        lu = lens_u * camera.aperture
+        lv = lens_v * camera.aperture
+        o = (o[0] + m[0, 0] * lu + m[0, 1] * lv,
+             o[1] + m[1, 0] * lu + m[1, 1] * lv,
+             o[2] + m[2, 0] * lu + m[2, 1] * lv)
+        d = vec.normalize(vec.sub(focal, o))
+    return o, d
+
+
+def camera_rays(camera: Camera, uv: jnp.ndarray, lens_uv=None):
+    """Row-vector convenience wrapper: uv (..., 2) -> ((..., 3), (..., 3))."""
+    lens_u = lens_uv[..., 0] if lens_uv is not None else None
+    lens_v = lens_uv[..., 1] if lens_uv is not None else None
+    o, d = camera_rays_soa(camera, uv[..., 0], uv[..., 1], lens_u, lens_v)
+    return jnp.stack(o, axis=-1), jnp.stack(d, axis=-1)
 
 
 def pixel_uv(px, py, jitter_xy, width: int, height: int):

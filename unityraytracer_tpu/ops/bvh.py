@@ -161,16 +161,16 @@ def build_cluster_accel(triangles: Triangles, cluster_size: int = 64,
         # Single empty cluster: degenerate triangles never hit.
         S = cluster_size
         z = np.zeros((S, 3), np.float32)
-        tri = Triangles(v0=jnp.asarray(z), v1=jnp.asarray(z), v2=jnp.asarray(z),
-                        n0=jnp.asarray(z), n1=jnp.asarray(z), n2=jnp.asarray(z),
-                        material_id=jnp.zeros((S,), jnp.int32))
+        tri = Triangles(v0=z, v1=z.copy(), v2=z.copy(),
+                        n0=z.copy(), n1=z.copy(), n2=z.copy(),
+                        material_id=np.zeros((S,), np.int32))
         one = np.zeros((1, 3), np.float32)
         return ClusterAccel(
             triangles=tri,
-            cluster_vmin=jnp.asarray(one), cluster_vmax=jnp.asarray(one),
-            node_vmin=jnp.asarray(one), node_vmax=jnp.asarray(one),
-            node_left=jnp.full((1,), -1, jnp.int32),
-            node_right=jnp.full((1,), -1, jnp.int32),
+            cluster_vmin=one, cluster_vmax=one.copy(),
+            node_vmin=one.copy(), node_vmax=one.copy(),
+            node_left=np.full((1,), -1, np.int32),
+            node_right=np.full((1,), -1, np.int32),
         )
 
     # 1. Morton order on centroids.
@@ -235,23 +235,31 @@ def build_cluster_accel(triangles: Triangles, cluster_size: int = 64,
         node_left = np.full(1, -1, np.int32)
         node_right = np.full(1, -1, np.int32)
 
+    # Host numpy throughout: the accel is device_put once by the caller.
     tri = Triangles(
-        v0=jnp.asarray(v0s), v1=jnp.asarray(v1s), v2=jnp.asarray(v2s),
-        n0=jnp.asarray(n0s), n1=jnp.asarray(n1s), n2=jnp.asarray(n2s),
-        material_id=jnp.asarray(mids, jnp.int32),
+        v0=v0s, v1=v1s, v2=v2s, n0=n0s, n1=n1s, n2=n2s,
+        material_id=np.asarray(mids, np.int32),
     )
     return ClusterAccel(
         triangles=tri,
-        cluster_vmin=jnp.asarray(cl_vmin), cluster_vmax=jnp.asarray(cl_vmax),
-        node_vmin=jnp.asarray(node_vmin), node_vmax=jnp.asarray(node_vmax),
-        node_left=jnp.asarray(node_left, jnp.int32),
-        node_right=jnp.asarray(node_right, jnp.int32),
+        cluster_vmin=cl_vmin, cluster_vmax=cl_vmax,
+        node_vmin=node_vmin, node_vmax=node_vmax,
+        node_left=np.asarray(node_left, np.int32),
+        node_right=np.asarray(node_right, np.int32),
     )
 
 
-def build_accel(scene: Scene, cfg) -> ClusterAccel:
-    """Build the acceleration structure a config's tracer needs."""
-    return build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
+def build_accel(scene: Scene, cfg):
+    """Build the acceleration structure a config's tracer needs.
+
+    "bvh"/"cluster" get the raw ClusterAccel; "pallas" additionally pre-packs
+    the kernel SoA layout (host-side numpy, so it must happen outside jit).
+    """
+    accel = build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
+    if getattr(cfg, "tracer", None) == "pallas":
+        from .pallas_trace import prepare_pallas_accel
+        return prepare_pallas_accel(accel)
+    return accel
 
 
 # ---------------------------------------------------------------------------

@@ -7,63 +7,58 @@ counter-based threefry keys at the XLA level and ``pltpu.prng_*`` inside
 Pallas kernels; the estimator (hemisphere pdfs, roulette weights) matches the
 reference exactly, so converged images agree even though individual sample
 streams differ.
+
+Directions are component-SoA Vec3 tuples (see ops/vec.py for why).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.math3d import normalize
+from . import vec
+from .vec import Vec3
 
 PI = 3.14159265
 
 
-def tangent_frame(n):
-    """Orthonormal (tangent, binormal) for unit normals ``n``: (..., 3).
+def tangent_frame(n: Vec3):
+    """Orthonormal (tangent, binormal) for unit normals.
 
     Mirrors GetTangentSpace (RayTraceShader.compute:89-100): helper axis is
     +x unless |n.x| > 0.99, then +z.
     """
-    use_z = jnp.abs(n[..., 0]) > 0.99
-    helper = jnp.stack([
-        jnp.where(use_z, 0.0, 1.0),
-        jnp.zeros_like(n[..., 0]),
-        jnp.where(use_z, 1.0, 0.0),
-    ], axis=-1)
-    tangent = normalize(jnp.cross(n, helper))
-    binormal = normalize(jnp.cross(n, tangent))
+    use_z = jnp.abs(n[0]) > 0.99
+    helper = (jnp.where(use_z, 0.0, 1.0),
+              jnp.zeros_like(n[0]),
+              jnp.where(use_z, 1.0, 0.0))
+    tangent = vec.normalize(vec.cross(n, helper))
+    binormal = vec.normalize(vec.cross(n, tangent))
     return tangent, binormal
 
 
-def sample_hemisphere(u1, u2, axis, alpha):
+def sample_hemisphere(u1, u2, axis: Vec3, alpha) -> Vec3:
     """Power-cosine hemisphere sample about ``axis``.
 
     cos(theta) = u1^(1/(alpha+1)) (SampleHemisphere, compute:102-111):
-    alpha=0 uniform, alpha=1 cosine, large alpha = tight Phong lobe.
-
-    Args:
-      u1, u2: (...,) uniforms in [0, 1).
-      axis: (..., 3) unit vectors.
-      alpha: scalar or (...,) lobe exponent.
-    Returns:
-      (..., 3) unit directions (may dip below the surface for lobes around a
-      reflection vector; the caller's sdot clamp zeroes those, as in the
-      reference).
+    alpha=0 uniform, alpha=1 cosine, large alpha = tight Phong lobe. May dip
+    below the surface for lobes around a reflection vector; the caller's sdot
+    clamp zeroes those, as in the reference.
     """
     cos_t = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (alpha + 1.0))
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     phi = 2.0 * PI * u2
     tangent, binormal = tangent_frame(axis)
-    return (tangent * (jnp.cos(phi) * sin_t)[..., None]
-            + binormal * (jnp.sin(phi) * sin_t)[..., None]
-            + axis * cos_t[..., None])
+    ca, sa = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+    return (tangent[0] * ca + binormal[0] * sa + axis[0] * cos_t,
+            tangent[1] * ca + binormal[1] * sa + axis[1] * cos_t,
+            tangent[2] * ca + binormal[2] * sa + axis[2] * cos_t)
 
 
 def sample_unit_disk(u1, u2):
-    """Concentric-ish polar disk sample for thin-lens DoF: (..., 2)."""
+    """Polar disk sample for thin-lens DoF: returns (dx, dy) components."""
     r = jnp.sqrt(u1)
     phi = 2.0 * PI * u2
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
 def uniform_from_bits(bits):

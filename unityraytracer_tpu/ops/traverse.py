@@ -1,7 +1,7 @@
 """Accelerated closest-hit tracers over the cluster LBVH.
 
 Two pure-JAX strategies (the Pallas kernel in ``pallas_trace.py`` is the
-third), both returning the same Hit SoA as ``trace_brute``:
+third), all taking/returning component-SoA rays and Hit records:
 
 * ``trace_bvh``: classic per-ray stack traversal of the radix tree
   (the correct version of IntersectMeshBVH, RayTraceShader.compute:294-326),
@@ -13,8 +13,7 @@ third), both returning the same Hit SoA as ``trace_brute``:
   (vectorized slab test), sort clusters by entry distance, then sweep the
   sorted list in fixed-size rounds inside a ``while_loop`` that stops once
   every ray's best hit precedes the nearest unvisited cluster. Exact, fully
-  vectorized, no per-lane gathers in the hot loop — this maps best onto the
-  VPU and is the blueprint for the Pallas kernel.
+  vectorized, no per-lane gathers in the hot loop.
 
 Both handle spheres and ground via the dense candidates (sphere counts are
 tiny — a sphere BVH like the reference's would be pure overhead on TPU; the
@@ -23,53 +22,77 @@ dense test is one fused op).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..scene import Scene
 from ..utils.math3d import INF
+from . import vec
+from .vec import Vec3
 from .bvh import ClusterAccel
-from .intersect import intersect_aabb, intersect_triangles, safe_inv_dir
+from .intersect import intersect_aabb, safe_inv_dir
 from .shade import Hit
 from .trace import (_ground_candidate, _sphere_candidate, combine_candidates,
                     map_chunked)
 
 
-def _cluster_triangle_hit(accel: ClusterAccel, ro, rd, cluster_ids):
-    """Test rays against the triangles of per-ray chosen clusters.
+def _cluster_triangle_hit(accel: ClusterAccel, ro: Vec3, rd: Vec3, cluster_ids):
+    """MT97 of each ray against its own cluster's triangles.
 
     Args:
-      ro, rd: (R, 3); cluster_ids: (R,) int32.
+      ro, rd: Vec3 of (R,); cluster_ids: (R,) int32.
     Returns:
-      updated (t, u, v, tri_idx) for hits closer than best_t:
-      t: (R,), tri_idx: (R,) global index into accel.triangles.
+      (t, u, v, tri_idx): best per ray within the cluster; t (R,).
     """
     S = accel.cluster_size
-    base = cluster_ids * S
-    tri_idx = base[:, None] + jnp.arange(S)[None, :]          # (R, S)
-    v0 = accel.triangles.v0[tri_idx]                          # (R, S, 3)
-    v1 = accel.triangles.v1[tri_idx]
-    v2 = accel.triangles.v2[tri_idx]
-    # Per-ray MT97 against its own S triangles (vmapped over rays).
-    t, u, v = jax.vmap(
-        lambda o, d, a, b, c: intersect_triangles(o[None], d[None], a, b, c)
-    )(ro, rd, v0, v1, v2)
-    t, u, v = t[:, 0], u[:, 0], v[:, 0]                       # (R, S)
+    tr = accel.triangles
+    tri_idx = cluster_ids[:, None] * S + jnp.arange(S)[None, :]  # (R, S)
+
+    def g(tab, k):
+        return tab[:, k][tri_idx]                                # (R, S)
+
+    v0x, v0y, v0z = g(tr.v0, 0), g(tr.v0, 1), g(tr.v0, 2)
+    e1x = g(tr.v1, 0) - v0x
+    e1y = g(tr.v1, 1) - v0y
+    e1z = g(tr.v1, 2) - v0z
+    e2x = g(tr.v2, 0) - v0x
+    e2y = g(tr.v2, 1) - v0y
+    e2z = g(tr.v2, 2) - v0z
+    rox, roy, roz = (c[:, None] for c in ro)                     # (R, 1)
+    rdx, rdy, rdz = (c[:, None] for c in rd)
+    px = rdy * e2z - rdz * e2y
+    py = rdz * e2x - rdx * e2z
+    pz = rdx * e2y - rdy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    front = det >= 1e-8
+    inv_det = 1.0 / jnp.where(front, det, 1.0)
+    tx = rox - v0x
+    ty = roy - v0y
+    tz = roz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = front & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
+    t = jnp.where(ok, t, INF)
     s_best = jnp.argmin(t, axis=1)
     take = lambda a: jnp.take_along_axis(a, s_best[:, None], axis=1)[:, 0]
-    return take(t), take(u), take(v), jnp.take_along_axis(tri_idx, s_best[:, None], 1)[:, 0]
+    return (take(t), take(u), take(v),
+            jnp.take_along_axis(tri_idx, s_best[:, None], 1)[:, 0])
 
 
-def _finish_triangle_hit(accel: ClusterAccel, ro, rd, t, u, v, tri_idx):
+def _finish_triangle_hit(accel: ClusterAccel, t, u, v, tri_idx):
     """Assemble a triangle candidate dict from the best (t, u, v, tri)."""
     tr = accel.triangles
     w = 1.0 - u - v
-    n = (tr.n0[tri_idx] * w[:, None] + tr.n1[tri_idx] * u[:, None]
-         + tr.n2[tri_idx] * v[:, None])
-    n = n / jnp.sqrt(jnp.maximum(jnp.sum(n * n, -1, keepdims=True), 1e-20))
-    return dict(t=t, normal=n, material_id=tr.material_id[tri_idx])
+    n0 = vec.gather_rows(tr.n0, tri_idx)
+    n1 = vec.gather_rows(tr.n1, tri_idx)
+    n2 = vec.gather_rows(tr.n2, tri_idx)
+    n = vec.add(vec.add(vec.scale(n0, w), vec.scale(n1, u)), vec.scale(n2, v))
+    return dict(t=t, normal=vec.normalize(n),
+                material_id=tr.material_id[tri_idx])
 
 
 # ---------------------------------------------------------------------------
@@ -80,9 +103,21 @@ STACK_DEPTH = 64  # fixed stack (reference pins 32, compute:73-74; LBVH depth
                   # over C clusters is <= ~2*log2(C), 64 covers C ~ 2^30)
 
 
-def _triangle_bvh_candidate(accel: ClusterAccel, ro, rd):
-    """Closest triangle hit via masked stack traversal. (R,3) -> candidate."""
-    R = ro.shape[0]
+def _aabb_single(ro: Vec3, inv: Vec3, bmin: Vec3, bmax: Vec3, best_t):
+    """Per-ray slab test against per-ray boxes (all (R,) components)."""
+    t_min = jnp.full_like(ro[0], -INF)
+    t_max = jnp.full_like(ro[0], INF)
+    for a in range(3):
+        t1 = (bmin[a] - ro[a]) * inv[a]
+        t2 = (bmax[a] - ro[a]) * inv[a]
+        t_min = jnp.maximum(t_min, jnp.minimum(t1, t2))
+        t_max = jnp.minimum(t_max, jnp.maximum(t1, t2))
+    return (t_max >= t_min) & (t_max > 0) & (jnp.maximum(t_min, 0.0) < best_t)
+
+
+def _triangle_bvh_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3):
+    """Closest triangle hit via masked stack traversal."""
+    R = ro[0].shape[0]
     C = accel.num_clusters
     LEAF0 = C - 1 if C > 1 else 0
     inv_rd = safe_inv_dir(rd)
@@ -95,8 +130,7 @@ def _triangle_bvh_candidate(accel: ClusterAccel, ro, rd):
     best_tri = jnp.zeros((R,), jnp.int32)
 
     def cond(state):
-        sp = state[1]
-        return jnp.any(sp > 0)
+        return jnp.any(state[1] > 0)
 
     def body(state):
         stack, sp, best_t, best_u, best_v, best_tri = state
@@ -106,12 +140,9 @@ def _triangle_bvh_candidate(accel: ClusterAccel, ro, rd):
         node = jnp.where(active, node, 0)
         sp = jnp.where(active, sp - 1, sp)
 
-        nvmin = accel.node_vmin[node]
-        nvmax = accel.node_vmax[node]
-        hit, t_enter = jax.vmap(
-            lambda o, i, a, b: intersect_aabb(o[None], i[None], a[None], b[None])
-        )(ro, inv_rd, nvmin, nvmax)
-        hit = hit[:, 0, 0] & active & (t_enter[:, 0, 0] < best_t)
+        nvmin = vec.gather_rows(accel.node_vmin, node)
+        nvmax = vec.gather_rows(accel.node_vmax, node)
+        hit = _aabb_single(ro, inv_rd, nvmin, nvmax, best_t) & active
 
         is_leaf = accel.node_left[node] < 0
         # Leaf lanes: test the cluster's triangles (all lanes compute; masked).
@@ -134,9 +165,9 @@ def _triangle_bvh_candidate(accel: ClusterAccel, ro, rd):
         return stack, sp, best_t, best_u, best_v, best_tri
 
     state = (stack, sp, best_t, best_u, best_v, best_tri)
-    stack, sp, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
+    _, _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
         cond, body, state)
-    return _finish_triangle_hit(accel, ro, rd, best_t, best_u, best_v, best_tri)
+    return _finish_triangle_hit(accel, best_t, best_u, best_v, best_tri)
 
 
 def _masked_push(stack, sp, value, mask):
@@ -151,16 +182,17 @@ def _masked_push(stack, sp, value, mask):
 # Strategy 2: dense cluster culling with sorted rounds
 # ---------------------------------------------------------------------------
 
-def _triangle_cluster_candidate(accel: ClusterAccel, ro, rd, round_size: int = 8):
+def _triangle_cluster_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3,
+                                round_size: int = 8):
     """Closest triangle hit via sorted dense cluster sweep."""
-    R = ro.shape[0]
+    R = ro[0].shape[0]
     C = accel.num_clusters
     inv_rd = safe_inv_dir(rd)
 
     hit, t_enter = intersect_aabb(ro, inv_rd, accel.cluster_vmin,
                                   accel.cluster_vmax)          # (R, C)
     t_enter = jnp.where(hit, t_enter, INF)
-    order = jnp.argsort(t_enter, axis=1)                       # (R, C) nearest first
+    order = jnp.argsort(t_enter, axis=1)                       # nearest first
     t_sorted = jnp.take_along_axis(t_enter, order, axis=1)
 
     n_rounds = (C + round_size - 1) // round_size
@@ -195,7 +227,7 @@ def _triangle_cluster_candidate(accel: ClusterAccel, ro, rd, round_size: int = 8
     state = (jnp.int32(0), jnp.full((R,), INF), jnp.zeros((R,)),
              jnp.zeros((R,)), jnp.zeros((R,), jnp.int32))
     _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(cond, body, state)
-    return _finish_triangle_hit(accel, ro, rd, best_t, best_u, best_v, best_tri)
+    return _finish_triangle_hit(accel, best_t, best_u, best_v, best_tri)
 
 
 # ---------------------------------------------------------------------------
@@ -207,19 +239,25 @@ def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
     if cfg.tracer == "pallas":
         from .pallas_trace import make_pallas_tracer
         return make_pallas_tracer(scene, accel, cfg)
+    # Builders hand out host-numpy pytrees; traced indexing needs jnp leaves
+    # (no-op on tracers/device arrays).
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    accel = jax.tree_util.tree_map(jnp.asarray, accel)
 
     tri_fn = {"bvh": _triangle_bvh_candidate,
               "cluster": _triangle_cluster_candidate}[cfg.tracer]
     has_tris = scene.num_triangles > 0
 
-    def tracer(ro, rd) -> Hit:
-        def body(ro_c, rd_c):
+    def tracer(ro: Vec3, rd: Vec3) -> Hit:
+        def body(rox, roy, roz, rdx, rdy, rdz):
+            ro_c = (rox, roy, roz)
+            rd_c = (rdx, rdy, rdz)
             cands = [_ground_candidate(scene, ro_c, rd_c),
                      _sphere_candidate(scene, ro_c, rd_c)]
             if has_tris:
                 cands.append(tri_fn(accel, ro_c, rd_c))
             return combine_candidates(scene, ro_c, rd_c, cands)
 
-        return map_chunked(body, (ro, rd), cfg.ray_chunk)
+        return map_chunked(body, (*ro, *rd), cfg.ray_chunk)
 
     return tracer

@@ -1,0 +1,155 @@
+"""Multi-chip scaling: framebuffer tiling and sample parallelism.
+
+The reference is strictly single-GPU (SURVEY.md 2.4): its only parallelism is
+one thread per pixel within a dispatch. The TPU-native scale-out axes are:
+
+* **Framebuffer ("rows") sharding** — each device owns a disjoint horizontal
+  band of the image with an independent counter-based RNG stream; scene, BVH
+  and camera are replicated. Rendering is embarrassingly parallel, so the
+  only collective in the whole frame is the implicit all-gather when the
+  sharded accumulator is read back — riding ICI, exactly the north-star
+  design in BASELINE.json.
+
+* **Sample ("spp") sharding** — every device renders the full frame with a
+  different key; a ``psum``-mean merges them. The renderer analog of
+  data-parallel gradient averaging; useful when one frame's rays can't
+  saturate a slice but spp is high (SampleScene runs 25 rays/pixel,
+  SampleScene.unity:434).
+
+Both are expressed with ``jax.shard_map`` over a 1-D device mesh so the same
+step function jits on 1 chip, a v5e pod slice, or a CPU mesh of virtual
+devices (how tests and the driver's dry run validate multi-chip without
+hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..camera import Camera
+from ..config import RenderConfig
+from ..render import RenderState, get_tracer, render_sample
+from ..scene import Scene
+
+AXIS = "devices"
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def create_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
+    """RenderState with the accumulator sharded by rows over the mesh."""
+    n = mesh.shape[AXIS]
+    if cfg.height % n:
+        raise ValueError(f"height {cfg.height} not divisible by {n} devices")
+    accum = jax.device_put(
+        jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        NamedSharding(mesh, P(AXIS, None, None)))
+    n_samples = jax.device_put(jnp.int32(0), NamedSharding(mesh, P()))
+    return RenderState(accum=accum, n_samples=n_samples)
+
+
+def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
+                      mode: str = "rows") -> Callable:
+    """Build a jitted progressive step over the device mesh.
+
+    Returns ``step(state, scene, camera, accel, key) -> state`` where
+    state.accum is row-sharded ("rows" mode) or replicated ("spp" mode).
+    """
+    n_dev = mesh.shape[AXIS]
+    if mode == "rows":
+        h_local = cfg.height // n_dev
+
+        def local_step(accum, n_samples, scene, camera, accel, key):
+            dev = jax.lax.axis_index(AXIS)
+            key = jax.random.fold_in(key, dev)  # independent stream per tile
+            tracer = get_tracer(scene, cfg, accel)
+            frame = render_sample(scene, tracer, camera, key, cfg,
+                                  row0=dev * h_local, rows=h_local)
+            n = n_samples.astype(jnp.float32)
+            accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)
+            return accum, n_samples + 1
+
+        state_specs = (P(AXIS, None, None), P())
+    elif mode == "spp":
+        def local_step(accum, n_samples, scene, camera, accel, key):
+            dev = jax.lax.axis_index(AXIS)
+            key = jax.random.fold_in(key, dev)
+            tracer = get_tracer(scene, cfg, accel)
+            frame = render_sample(scene, tracer, camera, key, cfg)
+            frame = jax.lax.pmean(frame, AXIS)  # the only collective
+            n = n_samples.astype(jnp.float32)
+            accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)
+            return accum, n_samples + 1
+
+        state_specs = (P(), P())
+    else:
+        raise ValueError(f"unknown sharding mode {mode!r}")
+
+    shmapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=state_specs + (P(), P(), P(), P()),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: RenderState, scene: Scene, camera: Camera, accel, key):
+        accum, n_samples = shmapped(state.accum, state.n_samples, scene,
+                                    camera, accel, key)
+        return RenderState(accum=accum, n_samples=n_samples)
+
+    return step
+
+
+def gather_image(state: RenderState) -> np.ndarray:
+    """Explicit readback: all-gather the sharded accumulator to the host."""
+    return np.asarray(jax.device_get(state.accum))
+
+
+class ShardedRenderer:
+    """Multi-chip progressive renderer (Renderer analog over a mesh)."""
+
+    def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
+                 mesh: Optional[Mesh] = None, accel=None, seed: int = 0,
+                 mode: str = "rows"):
+        self.camera = camera
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if accel is None and config.tracer not in ("brute",):
+            from ..ops import bvh
+            accel = bvh.build_accel(scene, config)
+        # Replicate scene/accel across the mesh once (host numpy -> devices).
+        rep = NamedSharding(self.mesh, P())
+        self.scene = jax.device_put(scene, rep)
+        self.accel = jax.device_put(accel, rep) if accel is not None else None
+        self.mode = mode
+        self._key = jax.random.key(seed)
+        self._step = make_sharded_step(config, self.mesh, mode)
+        self.state = (create_sharded_state(config, self.mesh)
+                      if mode == "rows"
+                      else RenderState.create(config.width, config.height))
+
+    def step(self, n_frames: int = 1) -> "ShardedRenderer":
+        for _ in range(n_frames):
+            self._key, sub = jax.random.split(self._key)
+            self.state = self._step(self.state, self.scene, self.camera,
+                                    self.accel, sub)
+        return self
+
+    @property
+    def image(self) -> np.ndarray:
+        return gather_image(self.state)
+
+    @property
+    def sample_count(self) -> int:
+        return int(np.asarray(jax.device_get(self.state.n_samples)))

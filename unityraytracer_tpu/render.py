@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .camera import Camera, camera_rays, pixel_uv
+from .camera import Camera, camera_rays_soa
 from .config import RenderConfig
+from .ops import vec as vec_ops
 from .ops.shade import Hit, shade
 from .ops.sampling import sample_unit_disk
 from .ops import trace as trace_ops
@@ -46,7 +47,15 @@ class RenderState:
 
 
 def get_tracer(scene: Scene, cfg: RenderConfig, accel=None) -> Callable:
-    """Resolve cfg.tracer to a ``fn(ro, rd) -> Hit`` closure."""
+    """Resolve cfg.tracer to a ``fn(ro, rd) -> Hit`` closure.
+
+    Scene/accel may arrive with host-numpy leaves (fresh from the builders);
+    they are converted here so traced code can index them. Under jit the
+    leaves are already tracers and the conversion is a no-op.
+    """
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    if accel is not None:
+        accel = jax.tree_util.tree_map(jnp.asarray, accel)
     if cfg.tracer == "brute":
         return trace_ops.make_brute_tracer(scene, chunk=cfg.ray_chunk)
     if cfg.tracer in ("bvh", "cluster", "pallas"):
@@ -55,45 +64,141 @@ def get_tracer(scene: Scene, cfg: RenderConfig, accel=None) -> Callable:
     raise ValueError(f"unknown tracer {cfg.tracer!r}")
 
 
-def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
-                  cfg: RenderConfig) -> jnp.ndarray:
-    """Render one frame: (H, W, 3) linear radiance, mean over cfg.spp rays.
+def _morton5(c):
+    """Interleave the low 5 bits of an int array into every 3rd bit slot."""
+    c = c & 0x1F
+    c = (c | (c << 8)) & 0x100F
+    c = (c | (c << 4)) & 0x10C3
+    c = (c | (c << 2)) & 0x1249
+    return c
 
-    Row 0 of the output is the TOP of the image (pixel v flipped from the
-    reference's bottom-left uv origin).
+
+def _ray_sort_key(scene: Scene, ro, rd, alive):
+    """Coherence key: Morton cell of origin (15 bits) + direction octant.
+
+    Bounce rays scatter: after one diffuse bounce, adjacent pixels' rays share
+    no geometry, and the Pallas tracer's per-tile culling degrades ~85x
+    (measured: 35 ms coherent vs 2.9 s incoherent for 2M rays on v5e).
+    Sorting rays each bounce by (origin cell, direction octant) restores tile
+    coherence; dead (parked) rays get the max key, compacting them into
+    all-dead tiles that the tracer skips entirely — the TPU version of
+    wavefront ray-queue compaction (SURVEY.md 2.4).
+    """
+    tr = scene.triangles
+    if tr.count:
+        lo = (tr.v0[:, 0].min(), tr.v0[:, 1].min(), tr.v0[:, 2].min())
+        hi = (tr.v0[:, 0].max(), tr.v0[:, 1].max(), tr.v0[:, 2].max())
+    else:
+        sp = scene.spheres
+        lo = (sp.center[:, 0].min(), sp.center[:, 1].min(), sp.center[:, 2].min())
+        hi = (sp.center[:, 0].max(), sp.center[:, 1].max(), sp.center[:, 2].max())
+    key = jnp.zeros_like(ro[0], dtype=jnp.int32)
+    oct_bits = jnp.zeros_like(key)
+    for a in range(3):
+        ext = jnp.maximum(hi[a] - lo[a], 1e-6)
+        cell = jnp.clip(((ro[a] - lo[a]) / ext * 32.0).astype(jnp.int32), 0, 31)
+        key = key | (_morton5(cell) << (2 - a))
+        oct_bits = oct_bits | ((rd[a] > 0).astype(jnp.int32) << a)
+    key = (key << 3) | oct_bits
+    return jnp.where(alive, key, jnp.int32(1 << 30))
+
+
+def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
+                  cfg: RenderConfig, row0: int = 0,
+                  rows: Optional[int] = None) -> jnp.ndarray:
+    """Render one frame band: (rows, W, 3) linear radiance, mean over spp.
+
+    Row 0 of the full output is the TOP of the image. ``row0``/``rows``
+    select a horizontal band of the full cfg.height image — the unit of
+    multi-chip framebuffer sharding (each device renders disjoint bands with
+    its own RNG stream; see parallel/sharding.py).
     """
     H, W, spp = cfg.height, cfg.width, cfg.spp
-    N = H * W * spp
+    h = H if rows is None else rows
+    N = h * W * spp
 
     k_jit, k_lens, k_bounce = jax.random.split(key, 3)
 
-    # Pixel lattice: py counts up from the bottom (NDC v up).
-    px = jnp.broadcast_to(jnp.arange(W)[None, None, :], (spp, H, W))
-    py = jnp.broadcast_to(jnp.arange(H)[None, :, None], (spp, H, W))
-    jitter = jax.random.uniform(k_jit, (spp, H, W, 2))
-    uv = pixel_uv(px, py, jitter, W, H)
+    # Pixel lattice: output row r (top-down) is pixel row py = H-1-r counted
+    # bottom-up (NDC v points up). All ray state is component-SoA (N,) arrays
+    # (see ops/vec.py: stacked (N, 3) buffers force 128x-padded TPU layouts).
+    px = jnp.broadcast_to(jnp.arange(W)[None, None, :], (spp, h, W))
+    py = jnp.broadcast_to((H - 1 - (row0 + jnp.arange(h)))[None, :, None],
+                          (spp, h, W))
+    jx = jax.random.uniform(jax.random.fold_in(k_jit, 0), (spp, h, W))
+    jy = jax.random.uniform(jax.random.fold_in(k_jit, 1), (spp, h, W))
+    u = ((px.astype(jnp.float32) + jx) / W * 2.0 - 1.0).reshape(N)
+    v = ((py.astype(jnp.float32) + jy) / H * 2.0 - 1.0).reshape(N)
 
     # Thin-lens offsets are generated unconditionally (cheap) and are a no-op
     # when aperture == 0; keeps the traced graph static across camera params.
-    lu = jax.random.uniform(k_lens, (spp, H, W, 2))
-    lens_uv = sample_unit_disk(lu[..., 0], lu[..., 1])
+    lu1 = jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,))
+    lu2 = jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,))
+    lens_u, lens_v = sample_unit_disk(lu1, lu2)
 
-    ro, rd = camera_rays(camera, uv, lens_uv)
-    ro = ro.reshape(N, 3)
-    rd = rd.reshape(N, 3)
-    energy = jnp.ones((N, 3), jnp.float32)
-    radiance = jnp.zeros((N, 3), jnp.float32)
+    ro, rd = camera_rays_soa(camera, u, v, lens_u, lens_v)
+
+    # Tile coherence: the Pallas tracer processes rays in fixed 128-ray tiles,
+    # and its cluster culling is per-tile — 8x16 PIXEL blocks keep a tile's
+    # rays spatially compact (row-major order would make 128x1 slivers that
+    # span the scene and defeat culling). Permute rays into block order here,
+    # un-permute radiance at the end.
+    inv_perm = None
+    if cfg.tracer == "pallas" and h % 8 == 0 and W % 16 == 0:
+        # NOTE: keep these as numpy (HLO literal constants). jnp.asarray here
+        # would create concrete device arrays captured by the trace, and
+        # captured device arrays degrade the whole compiled program on TPU
+        # (measured: unrelated gathers run ~800x slower when any are present).
+        perm = (np.arange(h * W).reshape(h // 8, 8, W // 16, 16)
+                .transpose(0, 2, 1, 3).reshape(-1))
+        inv_perm = np.argsort(perm)
+        take = lambda a: a.reshape(spp, h * W)[:, perm].reshape(N)
+        ro = tuple(take(c) for c in ro)
+        rd = tuple(take(c) for c in rd)
+
+    one = jnp.ones((N,), jnp.float32)
+    zero = jnp.zeros((N,), jnp.float32)
+    energy = (one, one.copy(), one.copy())
+    radiance = (zero, zero.copy(), zero.copy())
 
     # Bounce loop (compute:453-461). Static trip count; dead lanes carry zero
-    # energy. The wavefront path (ops/wavefront.py) compacts between bounces.
+    # energy. With cfg.wavefront, dead rays are "parked" far outside every
+    # acceleration-structure box pointing away from the scene, so the Pallas
+    # tracer's tile-level culling skips all geometry work for ray tiles that
+    # died together — the static-shape TPU form of the reference's per-thread
+    # early-out (compute:457-460).
+    alive = jnp.ones((N,), bool)
     for b in range(cfg.bounces):
-        hit: Hit = tracer(ro, rd)
-        uniforms = jax.random.uniform(jax.random.fold_in(k_bounce, b), (N, 3))
-        ro, rd, energy, contrib = shade(ro, rd, energy, hit, scene.skybox, uniforms)
-        radiance = radiance + contrib
+        if cfg.wavefront and b > 0:
+            # Wavefront re-sort: restore tile coherence for scattered bounce
+            # rays and compact dead rays into skippable tiles.
+            skey = _ray_sort_key(scene, ro, rd, alive)
+            order = jnp.argsort(skey)
+            inv = jnp.zeros((N,), jnp.int32).at[order].set(
+                jnp.arange(N, dtype=jnp.int32))
+            hit: Hit = tracer(tuple(c[order] for c in ro),
+                              tuple(c[order] for c in rd))
+            hit = jax.tree_util.tree_map(lambda a: a[inv], hit)
+        else:
+            hit = tracer(ro, rd)
+        kb = jax.random.fold_in(k_bounce, b)
+        uniforms = tuple(jax.random.uniform(jax.random.fold_in(kb, i), (N,))
+                         for i in range(3))
+        ro, rd, energy, contrib = shade(ro, rd, energy, hit, scene.skybox,
+                                        uniforms)
+        radiance = vec_ops.add(radiance, contrib)
+        if cfg.wavefront and b + 1 < cfg.bounces:
+            alive = (energy[0] > 0) | (energy[1] > 0) | (energy[2] > 0)
+            ro = vec_ops.where(alive, ro, vec_ops.splat((1e7, 1e7, 1e7), ro[0]))
+            rd = vec_ops.where(alive, rd, vec_ops.splat((0.0, 1.0, 0.0), rd[0]))
 
-    img = radiance.reshape(spp, H, W, 3).mean(axis=0)
-    return img[::-1]  # flip: row 0 = top
+    if inv_perm is not None:
+        take = lambda a: a.reshape(spp, h * W)[:, inv_perm].reshape(N)
+        radiance = tuple(take(c) for c in radiance)
+    # Stack to (h, W, 3) only at the very end (single boundary transpose).
+    img = jnp.stack([c.reshape(spp, h, W).mean(axis=0) for c in radiance],
+                    axis=-1)
+    return img
 
 
 def progressive_step(state: RenderState, frame: jnp.ndarray) -> RenderState:
@@ -112,13 +217,16 @@ class Renderer:
 
     def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
                  accel=None, seed: int = 0):
-        self.scene = scene
         self.camera = camera
         self.config = config
-        self.accel = accel
         if accel is None and config.tracer not in ("brute",):
             from .ops import bvh
-            self.accel = bvh.build_accel(scene, config)
+            accel = bvh.build_accel(scene, config)
+        # Scene/accel are built host-side (numpy leaves); move them to device
+        # once so per-frame steps don't re-upload (the analog of the
+        # reference's buffer upload at RayTraceMaster.cs:738-745).
+        self.scene = jax.device_put(scene)
+        self.accel = jax.device_put(accel) if accel is not None else None
         self._key = jax.random.key(seed)
         self.state = RenderState.create(config.width, config.height)
         self._compiled = self._build_step()
@@ -143,11 +251,11 @@ class Renderer:
         self.reset()
 
     def set_scene(self, scene: Scene, accel=None):
-        self.scene = scene
-        self.accel = accel
         if accel is None and self.config.tracer not in ("brute",):
             from .ops import bvh
-            self.accel = bvh.build_accel(scene, self.config)
+            accel = bvh.build_accel(scene, self.config)
+        self.scene = jax.device_put(scene)
+        self.accel = jax.device_put(accel) if accel is not None else None
         self.reset()
 
     # -- stepping --------------------------------------------------------------

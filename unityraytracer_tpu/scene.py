@@ -79,10 +79,10 @@ class Materials:
         if not mats:
             mats = [Material()]
         return Materials(
-            albedo=jnp.asarray([m.albedo for m in mats], jnp.float32),
-            specular=jnp.asarray([m.specular for m in mats], jnp.float32),
-            emission=jnp.asarray([m.emission for m in mats], jnp.float32),
-            smoothness=jnp.asarray([m.smoothness for m in mats], jnp.float32),
+            albedo=np.asarray([m.albedo for m in mats], np.float32),
+            specular=np.asarray([m.specular for m in mats], np.float32),
+            emission=np.asarray([m.emission for m in mats], np.float32),
+            smoothness=np.asarray([m.smoothness for m in mats], np.float32),
         )
 
 
@@ -268,14 +268,14 @@ class SceneBuilder:
 
         if self._sphere_centers:
             spheres = Spheres(
-                center=jnp.asarray(np.stack(self._sphere_centers), jnp.float32),
-                radius=jnp.asarray(np.stack(self._sphere_radii), jnp.float32),
-                material_id=jnp.asarray(self._sphere_mats, jnp.int32),
+                center=np.stack(self._sphere_centers).astype(np.float32),
+                radius=np.stack(self._sphere_radii).astype(np.float32),
+                material_id=np.asarray(self._sphere_mats, np.int32),
             )
         else:
-            spheres = Spheres(center=jnp.zeros((0, 3), jnp.float32),
-                              radius=jnp.zeros((0,), jnp.float32),
-                              material_id=jnp.zeros((0,), jnp.int32))
+            spheres = Spheres(center=np.zeros((0, 3), np.float32),
+                              radius=np.zeros((0,), np.float32),
+                              material_id=np.zeros((0,), np.int32))
 
         if self._tri_v:
             tv = np.concatenate(self._tri_v, axis=0)
@@ -299,9 +299,11 @@ class SceneBuilder:
             tm = np.concatenate([tm, np.zeros((pad,), np.int32)], axis=0)
 
         triangles = Triangles(
-            v0=jnp.asarray(tv[:, 0]), v1=jnp.asarray(tv[:, 1]), v2=jnp.asarray(tv[:, 2]),
-            n0=jnp.asarray(tn[:, 0]), n1=jnp.asarray(tn[:, 1]), n2=jnp.asarray(tn[:, 2]),
-            material_id=jnp.asarray(tm, jnp.int32),
+            v0=np.ascontiguousarray(tv[:, 0]), v1=np.ascontiguousarray(tv[:, 1]),
+            v2=np.ascontiguousarray(tv[:, 2]),
+            n0=np.ascontiguousarray(tn[:, 0]), n1=np.ascontiguousarray(tn[:, 1]),
+            n2=np.ascontiguousarray(tn[:, 2]),
+            material_id=np.asarray(tm, np.int32),
         )
 
         if self._skybox is None:
@@ -310,11 +312,13 @@ class SceneBuilder:
             skybox = self._skybox
 
         self.dirty = False
+        # All leaves are host numpy: cheap to build and to feed the accel
+        # builders; move to device once with jax.device_put (Renderer does).
         return Scene(
             spheres=spheres,
             triangles=triangles,
             materials=materials,
-            ground_enabled=jnp.float32(1.0 if self._ground else 0.0),
-            ground_material_id=jnp.int32(ground_mid),
-            skybox=jnp.asarray(skybox, jnp.float32),
+            ground_enabled=np.float32(1.0 if self._ground else 0.0),
+            ground_material_id=np.int32(ground_mid),
+            skybox=np.asarray(skybox, np.float32),
         )

@@ -1,0 +1,118 @@
+"""Acceleration-structure inspection — the code equivalent of the reference's
+editor gizmos (DrawBVHTree / DrawNormals / test-ray highlight,
+RayTraceDebug.cs:92-183), replaced by dump-to-numpy + OBJ export since a
+headless framework has no editor viewport.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..ops.bvh import ClusterAccel
+from ..ops.intersect import intersect_aabb, safe_inv_dir
+
+
+def accel_stats(accel: ClusterAccel) -> Dict:
+    """Structure summary (the analog of the BVH depth/length log lines,
+    RayTraceMaster.cs:734-735)."""
+    C = accel.num_clusters
+    left = np.asarray(accel.node_left)
+    vmin = np.asarray(accel.node_vmin)
+    vmax = np.asarray(accel.node_vmax)
+    right = np.asarray(accel.node_right)
+
+    depths = {0: 0}
+    max_depth = 0
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        if left[n] >= 0:
+            for ch in (int(left[n]), int(right[n])):
+                depths[ch] = depths[n] + 1
+                max_depth = max(max_depth, depths[ch])
+                stack.append(ch)
+    ext = np.maximum(vmax - vmin, 0)
+    return dict(
+        num_clusters=C,
+        cluster_size=accel.cluster_size,
+        num_triangles=accel.triangles.count,
+        num_nodes=len(left),
+        max_depth=max_depth,
+        root_volume=float(np.prod(ext[0])) if len(ext) else 0.0,
+        mean_leaf_volume=float(np.mean(np.prod(
+            np.maximum(np.asarray(accel.cluster_vmax)
+                       - np.asarray(accel.cluster_vmin), 0), axis=1))),
+    )
+
+
+def dump_tree(accel: ClusterAccel, max_nodes: int = 64) -> str:
+    """ASCII tree of the radix hierarchy with AABBs and (heap, leaf) labels —
+    the textual DrawBVH (RayTraceDebug.cs:92-117)."""
+    left = np.asarray(accel.node_left)
+    right = np.asarray(accel.node_right)
+    vmin = np.asarray(accel.node_vmin)
+    vmax = np.asarray(accel.node_vmax)
+    C = accel.num_clusters
+    lines: List[str] = []
+
+    def walk(n, depth):
+        if len(lines) >= max_nodes:
+            return
+        box = (f"[{vmin[n][0]:.2f},{vmin[n][1]:.2f},{vmin[n][2]:.2f}]-"
+               f"[{vmax[n][0]:.2f},{vmax[n][1]:.2f},{vmax[n][2]:.2f}]")
+        if left[n] < 0:
+            leaf = n - (C - 1) if C > 1 else 0
+            lines.append("  " * depth + f"leaf #{leaf} node={n} {box}")
+        else:
+            lines.append("  " * depth + f"node {n} {box}")
+            walk(int(left[n]), depth + 1)
+            walk(int(right[n]), depth + 1)
+
+    walk(0, 0)
+    if len(lines) >= max_nodes:
+        lines.append(f"... truncated at {max_nodes} nodes")
+    return "\n".join(lines)
+
+
+def export_aabbs_obj(accel: ClusterAccel, path: str,
+                     leaves_only: bool = True) -> str:
+    """Write cluster (or all node) AABBs as wireframe boxes in an OBJ file —
+    load in any viewer to eyeball the hierarchy like the editor gizmos."""
+    if leaves_only:
+        vmin = np.asarray(accel.cluster_vmin)
+        vmax = np.asarray(accel.cluster_vmax)
+    else:
+        vmin = np.asarray(accel.node_vmin)
+        vmax = np.asarray(accel.node_vmax)
+    with open(path, "w") as f:
+        for i, (lo, hi) in enumerate(zip(vmin, vmax)):
+            base = i * 8 + 1
+            for zc in (lo[2], hi[2]):
+                for yc in (lo[1], hi[1]):
+                    for xc in (lo[0], hi[0]):
+                        f.write(f"v {xc} {yc} {zc}\n")
+            edges = [(0, 1), (1, 3), (3, 2), (2, 0), (4, 5), (5, 7), (7, 6),
+                     (6, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+            for a, b in edges:
+                f.write(f"l {base + a} {base + b}\n")
+    return path
+
+
+def test_ray_report(accel: ClusterAccel, origin, direction) -> Dict:
+    """Host-side ray-vs-hierarchy probe (the steerable debug test ray,
+    RayTraceDebug.cs:70-89,120-133): which clusters does this ray's slab test
+    touch, in entry order?"""
+    import jax.numpy as jnp
+    ro = jnp.asarray(np.asarray(origin, np.float32)[None])
+    rd = np.asarray(direction, np.float64)
+    rd = rd / np.linalg.norm(rd)
+    rdj = jnp.asarray(rd.astype(np.float32)[None])
+    hit, t_enter = intersect_aabb(ro, safe_inv_dir(rdj),
+                                  accel.cluster_vmin, accel.cluster_vmax)
+    hit = np.asarray(hit)[0]
+    t_enter = np.asarray(t_enter)[0]
+    order = np.argsort(np.where(hit, t_enter, np.inf))
+    touched = [(int(c), float(t_enter[c])) for c in order if hit[c]]
+    return dict(n_touched=len(touched), clusters=touched[:32])
