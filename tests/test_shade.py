@@ -33,30 +33,34 @@ def _shade1(hit, uniforms, energy=(1, 1, 1), rd=(0, -1, 0)):
     rdj = _v3(rd)
     e = _v3(energy)
     u = tuple(jnp.asarray([x], jnp.float32) for x in uniforms)
-    return shade(ro, rdj, e, hit, SKY, u)
+    new_ro, new_rd, new_e, radiance, missed = shade(ro, rdj, e, hit, u)
+    return new_ro, new_rd, new_e, radiance, missed
 
 
 def _np3(v):
     return np.stack([np.asarray(c) for c in v], axis=-1)[0]
 
 
-def test_miss_returns_sky_and_kills_ray():
+def test_miss_kills_ray_and_flags_for_sky():
     hit = _hit(MISS_T * 2, (0.5, 0.5, 0.5), (0, 0, 0))
-    _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5), energy=(0.5, 0.5, 0.5))
-    np.testing.assert_allclose(_np3(radiance), 1.0, atol=1e-6)  # 0.5 * sky(2)
+    _, _, energy, radiance, missed = _shade1(hit, (0.5, 0.5, 0.5),
+                                             energy=(0.5, 0.5, 0.5))
+    # Sky is resolved by the caller (deferred environment); shade only flags.
+    assert bool(np.asarray(missed)[0])
+    np.testing.assert_allclose(_np3(radiance), 0.0, atol=1e-6)
     np.testing.assert_allclose(_np3(energy), 0.0)
 
 
 def test_emission_weighted_by_energy_before_bounce():
     hit = _hit(1.0, (0.2, 0.2, 0.2), (0, 0, 0), emission=(3, 0, 1))
-    _, _, _, radiance = _shade1(hit, (0.9, 0.5, 0.5), energy=(0.5, 1.0, 1.0))
+    _, _, _, radiance, _ = _shade1(hit, (0.9, 0.5, 0.5), energy=(0.5, 1.0, 1.0))
     np.testing.assert_allclose(_np3(radiance), [1.5, 0.0, 1.0], atol=1e-6)
 
 
 def test_diffuse_energy_update():
     # Pure diffuse material: diffChance = 1, energy *= albedo.
     hit = _hit(1.0, (0.6, 0.3, 0.1), (0, 0, 0))
-    _, rd, energy, _ = _shade1(hit, (0.5, 0.3, 0.7))
+    _, rd, energy, _, _ = _shade1(hit, (0.5, 0.3, 0.7))
     np.testing.assert_allclose(_np3(energy), [0.6, 0.3, 0.1], atol=1e-5)
     # New direction must be in the upper hemisphere of the normal.
     assert float(rd[1][0]) > 0
@@ -66,7 +70,7 @@ def test_albedo_clamped_by_specular():
     # albedo = min(1 - spec, albedo): spec (0.8,...) clamps albedo 0.9 -> 0.2.
     hit = _hit(1.0, (0.9, 0.9, 0.9), (0.8, 0.8, 0.8))
     # roulette = 0.99 -> diffuse branch (specChance = 0.8, diffChance = 0.2).
-    _, _, energy, _ = _shade1(hit, (0.99, 0.5, 0.5))
+    _, _, energy, _, _ = _shade1(hit, (0.99, 0.5, 0.5))
     # diffuse weight = albedo/diffChance_normalized = 0.2 / 0.2 = 1.
     np.testing.assert_allclose(_np3(energy), 1.0, atol=1e-5)
 
@@ -76,7 +80,7 @@ def test_specular_mirror_reflects():
     hit = _hit(1.0, (0, 0, 0), (1.0, 1.0, 1.0), smoothness=1.0)
     rd_in = np.array([1.0, -1.0, 0.0]) / np.sqrt(2)
     # u1 = 1-eps -> cos_t ~ 1 -> new dir ~ reflect(rd, n) = (1, 1, 0)/sqrt(2)
-    _, rd, energy, _ = _shade1(hit, (0.0, 0.999999, 0.0), rd=tuple(rd_in))
+    _, rd, energy, _, _ = _shade1(hit, (0.0, 0.999999, 0.0), rd=tuple(rd_in))
     want = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
     np.testing.assert_allclose(_np3(rd), want, atol=5e-3)
     assert np.all(_np3(energy) > 0.5)
@@ -84,7 +88,7 @@ def test_specular_mirror_reflects():
 
 def test_black_material_terminates():
     hit = _hit(1.0, (0, 0, 0), (0, 0, 0))
-    _, _, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
+    _, _, energy, radiance, _ = _shade1(hit, (0.5, 0.5, 0.5))
     np.testing.assert_allclose(_np3(energy), 0.0)
     np.testing.assert_allclose(_np3(radiance), 0.0)
     assert np.isfinite(_np3(energy)).all()
@@ -108,6 +112,20 @@ def test_skybox_poles_and_wrap():
 def test_shade_no_nans_on_garbage_miss_lanes():
     # Miss lanes carry zero normals; shade must stay finite.
     hit = _hit(MISS_T * 2, (0, 0, 0), (0, 0, 0), n=(0, 0, 0))
-    ro, rd, energy, radiance = _shade1(hit, (0.5, 0.5, 0.5))
+    ro, rd, energy, radiance, _ = _shade1(hit, (0.5, 0.5, 0.5))
     for a in (ro, rd, energy, radiance):
         assert np.isfinite(_np3(a)).all()
+
+
+def test_rgbe_skybox_close_to_exact():
+    from unityraytracer_tpu.ops.shade import sample_skybox_rgbe
+    from unityraytracer_tpu.models.skybox import sun_sky
+    sky = jnp.asarray(sun_sky(32, 64))
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(3, 256)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    rd = tuple(jnp.asarray(d[k]) for k in range(3))
+    exact = np.stack([np.asarray(c) for c in sample_skybox(sky, rd)])
+    packed = np.stack([np.asarray(c) for c in sample_skybox_rgbe(sky, rd)])
+    rel = np.abs(packed - exact) / np.maximum(np.abs(exact), 1e-2)
+    assert rel.max() < 0.02  # RGBE quantization ~0.4%

@@ -46,6 +46,9 @@ class RenderConfig:
     wavefront: bool = False
     # Optional cap on traversal iterations for the jnp BVH path. None = 2*depth.
     max_traversal_steps: Optional[int] = None
+    # Environment lookup through a packed RGBE plane (4 gathers/frame instead
+    # of 12; ~0.4% radiance quantization, far below MC noise).
+    sky_rgbe: bool = True
 
     @property
     def num_pixels(self) -> int:

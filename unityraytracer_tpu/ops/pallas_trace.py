@@ -73,6 +73,8 @@ KSIZE = 128         # triangles per kernel cluster (= sublane block)
 PAGE = 128          # clusters per page
 MAX_PAGES = 128     # single page-level block => up to 128*128*128 = 2M tris
 
+NCHAN = 24          # packed per-triangle attribute rows (19 used, 8-aligned)
+
 _F32_MAX = 3.0e38
 _PAD_BOX = 1.0e30   # far-away point box for padded clusters/pages
 
@@ -136,9 +138,17 @@ def _trace_kernel(n_pages: int,
                   v0x_ref, v0y_ref, v0z_ref,
                   e1x_ref, e1y_ref, e1z_ref,
                   e2x_ref, e2y_ref, e2z_ref,
-                  out_t_ref, out_tri_ref):
+                  chan_ref,
+                  out_t_ref, *out_chans):
+    # out_chans: 13 (ROWS, TILE) f32 refs — nx, ny, nz, albedo rgb,
+    # specular rgb, emission rgb, smoothness. Shading data is resolved
+    # IN-KERNEL because XLA's per-ray gathers run serially (~22 ns/element on
+    # v5e): the winner `pick` matrix is one-hot per ray column, so one MXU
+    # matmul of the cluster's packed (NCHAN, 128-triangle) attribute block
+    # against pick selects every winner's attributes at once.
     out_t_ref[:] = jnp.full((ROWS, TILE), _F32_MAX, jnp.float32)
-    out_tri_ref[:] = jnp.zeros((ROWS, TILE), jnp.int32)
+    for oc in out_chans:
+        oc[:] = jnp.zeros((ROWS, TILE), jnp.float32)
 
     sub_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     sub_mat = jax.lax.broadcasted_iota(jnp.int32, (KSIZE, TILE), 0)
@@ -196,10 +206,51 @@ def _trace_kernel(n_pages: int,
             win_key = jnp.min(key, axis=0, keepdims=True)      # (1, rays)
             t_win = jax.lax.bitcast_convert_type(
                 jnp.bitwise_and(win_key, ~LANE_MASK), jnp.float32)
-            closer = t_win < best_t()
-            win_tri = c * KSIZE + jnp.bitwise_and(win_key, LANE_MASK)
-            out_tri_ref[rs, :] = jnp.where(closer, win_tri, out_tri_ref[rs, :])
-            out_t_ref[rs, :] = jnp.where(closer, t_win, out_t_ref[rs, :])
+            # Guard against the all-miss column: clearing the lane bits makes
+            # the F32_MAX sentinel compare as slightly LESS than a fresh
+            # sentinel, which would let garbage attribute sums through.
+            closer = (t_win < best_t()) & (t_win < _F32_MAX * 0.25)
+
+            # Winner attribute selection — only when some ray improved
+            # (incoherent passes often test clusters that win nothing; the
+            # scalar skip saves the matmul + selects). pick is one-hot over
+            # triangles for every ray column (lane bits make keys unique), so
+            # a single MXU matmul of the packed per-cluster attribute block
+            # (NCHAN, tris) against pick (tris, rays) yields each winner's
+            # attributes.
+            @pl.when(jnp.any(closer))
+            def _():
+                pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
+                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8), NCHAN), :]
+                sel = jnp.dot(chan, pick,
+                              preferred_element_type=jnp.float32)  # (NCHAN, rays)
+                # Exact t and barycentrics of the winner (removes the key
+                # truncation): one masked reduce each.
+                t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
+                                keepdims=True)
+                u_sel = jnp.sum(jnp.where(pick > 0, u, 0.0), axis=0,
+                                keepdims=True)
+                v_sel = jnp.sum(jnp.where(pick > 0, v, 0.0), axis=0,
+                                keepdims=True)
+                w_sel = 1.0 - u_sel - v_sel
+                # Smooth normal: barycentric blend of the winner's vertex
+                # normals (channels 0-8 are n0/n1/n2 xyz), normalized.
+                nx = (sel[0:1, :] * w_sel + sel[3:4, :] * u_sel
+                      + sel[6:7, :] * v_sel)
+                ny = (sel[1:2, :] * w_sel + sel[4:5, :] * u_sel
+                      + sel[7:8, :] * v_sel)
+                nz = (sel[2:3, :] * w_sel + sel[5:6, :] * u_sel
+                      + sel[8:9, :] * v_sel)
+                inv_len = jax.lax.rsqrt(
+                    jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+                new_vals = (nx * inv_len, ny * inv_len, nz * inv_len,
+                            sel[9:10, :], sel[10:11, :], sel[11:12, :],
+                            sel[12:13, :], sel[13:14, :], sel[14:15, :],
+                            sel[15:16, :], sel[16:17, :], sel[17:18, :],
+                            sel[18:19, :])
+                for oc, val in zip(out_chans, new_vals):
+                    oc[rs, :] = jnp.where(closer, val, oc[rs, :])
+                out_t_ref[rs, :] = jnp.where(closer, t_sel, out_t_ref[rs, :])
 
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
@@ -245,12 +296,19 @@ class PallasAccel:
     pgb: jnp.ndarray                 # (8, MAX_PAGES) page bounds rows
     cl_cols: Tuple[jnp.ndarray, ...]  # 6 x (G, PAGE) cluster bounds
     tri_rows: Tuple[jnp.ndarray, ...]  # 9 x (Cp, KSIZE) v0/e1/e2 components
-    triangles: Triangles             # Morton-ordered originals (normal gather)
+    chan: jnp.ndarray                # (Cp*NCHAN, KSIZE) packed attributes:
+                                     # n0/n1/n2 xyz, albedo, specular,
+                                     # emission, smoothness (19 rows + pad)
     n_pages: int = struct.field(pytree_node=False, default=1)
 
 
-def prepare_pallas_accel(accel: ClusterAccel) -> PallasAccel:
-    """Regroup a ClusterAccel into kernel geometry (host-side, not jittable)."""
+def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
+    """Regroup a ClusterAccel into kernel geometry (host-side, not jittable).
+
+    ``materials``: the scene Materials table; per-triangle shading attributes
+    are baked into the packed channel block so the kernel can output complete
+    hit records without any XLA-side gathers.
+    """
     tr = accel.triangles
     v0 = np.asarray(tr.v0)
     v1 = np.asarray(tr.v1)
@@ -307,13 +365,49 @@ def prepare_pallas_accel(accel: ClusterAccel) -> PallasAccel:
     tri_rows = (rows(v0p, 0), rows(v0p, 1), rows(v0p, 2),
                 rows(e1, 0), rows(e1, 1), rows(e1, 2),
                 rows(e2, 0), rows(e2, 1), rows(e2, 2))
+
+    # Packed per-triangle attribute block (NCHAN rows per cluster).
+    n0 = pad(np.asarray(tr.n0))
+    n1 = pad(np.asarray(tr.n1))
+    n2 = pad(np.asarray(tr.n2))
+    mid = np.zeros((Tp,), np.int64)
+    mid[:T] = np.asarray(tr.material_id)[:T]
+    if materials is not None:
+        alb = np.asarray(materials.albedo)[mid]
+        spc = np.asarray(materials.specular)[mid]
+        emi = np.asarray(materials.emission)[mid]
+        smo = np.asarray(materials.smoothness)[mid]
+    else:
+        alb = np.zeros((Tp, 3), np.float32)
+        spc = np.zeros((Tp, 3), np.float32)
+        emi = np.zeros((Tp, 3), np.float32)
+        smo = np.zeros((Tp,), np.float32)
+    chan = np.zeros((Cp, NCHAN, KSIZE), np.float32)
+    packed = [n0[:, 0], n0[:, 1], n0[:, 2],
+              n1[:, 0], n1[:, 1], n1[:, 2],
+              n2[:, 0], n2[:, 1], n2[:, 2],
+              alb[:, 0], alb[:, 1], alb[:, 2],
+              spc[:, 0], spc[:, 1], spc[:, 2],
+              emi[:, 0], emi[:, 1], emi[:, 2],
+              smo]
+    for k, col in enumerate(packed):
+        chan[:, k, :] = col.reshape(Cp, KSIZE)
+    chan = chan.reshape(Cp * NCHAN, KSIZE)
+
     # Host numpy leaves; callers device_put the pytree once per scene build.
     return PallasAccel(pgb=pgb, cl_cols=cl_cols,
-                       tri_rows=tri_rows, triangles=tr, n_pages=G)
+                       tri_rows=tri_rows, chan=chan, n_pages=G)
+
+
+N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
 
 
 def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
-    """Run the kernel over all rays. ro/rd: Vec3 of (N,), N % BLOCK == 0."""
+    """Run the kernel over all rays. ro/rd: Vec3 of (N,), N % BLOCK == 0.
+
+    Returns 14 (N,) arrays: t, nx, ny, nz, albedo rgb, specular rgb,
+    emission rgb, smoothness.
+    """
     pgb, cl_cols, tri_rows, n_pages = pa.pgb, pa.cl_cols, pa.tri_rows, pa.n_pages
     N = ro[0].shape[0]
     n_rows = N // TILE
@@ -330,31 +424,27 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32),
-        jax.ShapeDtypeStruct((n_rows, TILE), jnp.int32),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)
+                 for _ in range(N_OUTS)]
 
     kernel = functools.partial(_trace_kernel, n_pages)
-    t, tri = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[blk_spec] * 6 + [full()] * (1 + 6 + 9),
-        out_specs=[blk_spec] * 2,
+        in_specs=[blk_spec] * 6 + [full()] * (1 + 6 + 9 + 1),
+        out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
         interpret=interpret,
-    )(*ray_in, pgb, *cl_cols, *tri_rows)
+    )(*ray_in, pgb, *cl_cols, *tri_rows, pa.chan)
 
-    return t.reshape(N), tri.reshape(N)
+    return tuple(o.reshape(N) for o in outs)
 
 
 def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool):
-    """Triangle candidate dict via the Pallas kernel (handles ray padding).
+    """Full-material triangle candidate via the Pallas kernel (zero gathers).
 
     ro/rd are component-SoA Vec3 tuples of (N,).
     """
-    from . import vec
-
     N = ro[0].shape[0]
     pad = (-N) % BLOCK
     if pad:
@@ -365,36 +455,13 @@ def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool):
               jnp.concatenate([rd[1], zpad - 1.0]),
               jnp.concatenate([rd[2], zpad]))
 
-    t, tri = _pallas_triangle_trace(pa, ro, rd, interpret)
-    t, tri = t[:N], tri[:N]
-    ro = tuple(c[:N] for c in ro)
-    rd = tuple(c[:N] for c in rd)
-    missed = t >= _F32_MAX * 0.5
-    tri = jnp.clip(tri, 0, pa.triangles.count - 1)
-
-    # The kernel returns only (t-with-lane-bits-cleared, triangle id);
-    # barycentrics AND the exact t are recovered here with one gathered MT97
-    # per ray (cheap in XLA), removing the key-packing's 127-ulp truncation.
-    tr = pa.triangles
-    v0 = vec.gather_rows(tr.v0, tri)
-    e1 = vec.sub(vec.gather_rows(tr.v1, tri), v0)
-    e2 = vec.sub(vec.gather_rows(tr.v2, tri), v0)
-    pvec = vec.cross(rd, e2)
-    det = vec.dot(e1, pvec)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-    tvec = vec.sub(ro, v0)
-    u = jnp.clip(vec.dot(tvec, pvec) * inv_det, 0.0, 1.0)
-    qvec = vec.cross(tvec, e1)
-    v = jnp.clip(vec.dot(rd, qvec) * inv_det, 0.0, 1.0)
-    t_exact = vec.dot(e2, qvec) * inv_det
-    t = jnp.where(missed, INF, t_exact)
-
-    w = 1.0 - u - v
-    n0 = vec.gather_rows(tr.n0, tri)
-    n1 = vec.gather_rows(tr.n1, tri)
-    n2 = vec.gather_rows(tr.n2, tri)
-    n = vec.add(vec.add(vec.scale(n0, w), vec.scale(n1, u)), vec.scale(n2, v))
-    return dict(t=t, normal=vec.normalize(n), material_id=tr.material_id[tri])
+    outs = _pallas_triangle_trace(pa, ro, rd, interpret)
+    outs = tuple(o[:N] for o in outs)
+    t = outs[0]
+    t = jnp.where(t >= _F32_MAX * 0.5, INF, t)
+    return dict(t=t, normal=outs[1:4], albedo=outs[4:7],
+                specular=outs[7:10], emission=outs[10:13],
+                smoothness=outs[13])
 
 
 def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
@@ -409,7 +476,7 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
         # Host-side callers (tests) may hand the raw ClusterAccel; the
         # renderer's build_accel pre-packs a PallasAccel (prep is numpy,
         # illegal under jit).
-        accel = prepare_pallas_accel(accel)
+        accel = prepare_pallas_accel(accel, scene.materials)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     if accel is not None:
         accel = jax.tree_util.tree_map(jnp.asarray, accel)

@@ -84,20 +84,89 @@ def sample_skybox(skybox, rd: Vec3) -> Vec3:
     return tuple(out)
 
 
-def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, skybox, uniforms):
-    """One bounce of the reference BRDF.
+def pack_rgbe(skybox):
+    """(H, W, 3) float -> (H*W,) uint32 shared-exponent RGBE texels.
+
+    The environment lookup is the only per-ray gather left in the frame, and
+    TPU gathers cost ~22 ns/element — packing a texel into one word makes a
+    bilinear lookup 4 gathers instead of 12 (~0.4% radiance quantization,
+    far below Monte-Carlo noise).
+    """
+    m = jnp.max(skybox, axis=-1)
+    exp = jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))).astype(jnp.int32) + 1
+    scale = jnp.exp2(8.0 - exp.astype(jnp.float32))
+    rgb = jnp.clip(skybox * scale[..., None], 0, 255).astype(jnp.uint32)
+    e = jnp.where(m > 1e-30, exp + 128, 0).astype(jnp.uint32)
+    word = ((e << 24) | (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2])
+    return word.reshape(-1)
+
+
+def _decode_rgbe(word) -> Vec3:
+    e = (word >> 24).astype(jnp.int32)
+    scale = jnp.where(e > 0, jnp.exp2(e.astype(jnp.float32) - 136.0), 0.0)
+    return (((word >> 16) & 0xFF).astype(jnp.float32) * scale,
+            ((word >> 8) & 0xFF).astype(jnp.float32) * scale,
+            (word & 0xFF).astype(jnp.float32) * scale)
+
+
+def _equirect_coords(skybox_hw, rd: Vec3):
+    H, W = skybox_hw
+    y = jnp.clip(rd[1], -1.0, 1.0)
+    row01 = jnp.arccos(y) / PI
+    col01 = jnp.mod(-jnp.arctan2(rd[0], -rd[2]) / (2.0 * PI), 1.0)
+    fy = row01 * H - 0.5
+    fx = col01 * W - 0.5
+    y0f = jnp.floor(fy)
+    x0f = jnp.floor(fx)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, H - 1)
+    x0 = jnp.mod(x0f.astype(jnp.int32), W)
+    x1 = jnp.mod(x0f.astype(jnp.int32) + 1, W)
+    return (y0, y1, x0, x1, fy - y0f, fx - x0f)
+
+
+def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True) -> Vec3:
+    """Equirect lookup through a packed RGBE plane (4 gathers bilinear,
+    1 gather nearest). Same mapping as sample_skybox."""
+    H, W = skybox.shape[0], skybox.shape[1]
+    plane = pack_rgbe(skybox)
+    y0, y1, x0, x1, wy, wx = _equirect_coords((H, W), rd)
+    if not bilinear:
+        yn = jnp.where(wy > 0.5, y1, y0)
+        xn = jnp.where(wx > 0.5, x1, x0)
+        return _decode_rgbe(plane[yn * W + xn])
+    c00 = _decode_rgbe(plane[y0 * W + x0])
+    c01 = _decode_rgbe(plane[y0 * W + x1])
+    c10 = _decode_rgbe(plane[y1 * W + x0])
+    c11 = _decode_rgbe(plane[y1 * W + x1])
+    out = []
+    for k in range(3):
+        top = c00[k] * (1 - wx) + c01[k] * wx
+        bot = c10[k] * (1 - wx) + c11[k] * wx
+        out.append(top * (1 - wy) + bot * wy)
+    return tuple(out)
+
+
+def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, uniforms):
+    """One bounce of the reference BRDF (environment handled by the caller).
+
+    The reference samples the skybox inside Shade on miss (compute:424-426);
+    here the caller records (direction, throughput) at each ray's first miss
+    and resolves the environment ONCE per frame — a ray can only miss with
+    nonzero energy once, and per-ray texture gathers are the scarcest
+    resource on TPU.
 
     Args:
       ro, rd: Vec3 of (N,) current ray origins / unit directions.
       energy: Vec3 of (N,) path throughput before this bounce.
       hit: Hit SoA (t >= MISS_T marks skybox rays).
-      skybox: (H, W, 3) environment map.
       uniforms: 3-tuple of (N,) independent U[0,1) samples (roulette, u1, u2).
 
     Returns:
-      (new_ro, new_rd, new_energy, radiance): radiance is this bounce's
-      contribution ``energy * (emission | sky)``; new_energy is 0 for missed
-      or terminated lanes.
+      (new_ro, new_rd, new_energy, radiance, missed): radiance is this
+      bounce's emission contribution ``energy * emission`` (zero on miss);
+      new_energy is 0 for missed or terminated lanes; the caller adds
+      ``energy_before * sky(rd)`` for missed lanes.
     """
     u_roulette, u1, u2 = uniforms
     missed = hit.t >= MISS_T
@@ -134,12 +203,10 @@ def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, skybox, uniforms):
     # Bounce origin bias (compute:402,409).
     new_ro = vec.add(hit.position, vec.scale(n, 0.001))
 
-    sky = sample_skybox(skybox, rd)
-    radiance = vec.where(missed, vec.mul(energy, sky),
-                         vec.mul(energy, hit.emission))
     zero = vec.splat((0., 0., 0.), u1)
+    radiance = vec.where(missed, zero, vec.mul(energy, hit.emission))
     new_energy = vec.where(missed, zero, vec.mul(energy, lobe_w))
     # Dead lanes keep their old ray (values are masked by zero energy anyway).
     new_ro = vec.where(missed, ro, new_ro)
     new_rd = vec.where(missed, rd, new_rd)
-    return new_ro, new_rd, new_energy, radiance
+    return new_ro, new_rd, new_energy, radiance, missed

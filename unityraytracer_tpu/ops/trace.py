@@ -50,8 +50,23 @@ def map_chunked(fn, ray_args, chunk: int):
 
 def _empty_candidate(shape_like):
     z = jnp.zeros_like(shape_like)
-    return dict(t=jnp.full_like(shape_like, INF), normal=(z, z, z),
-                material_id=jnp.zeros(shape_like.shape, jnp.int32))
+    zv = (z, z, z)
+    return dict(t=jnp.full_like(shape_like, INF), normal=zv, albedo=zv,
+                specular=zv, emission=zv, smoothness=z)
+
+
+def _material_splat(scene: Scene, mid_scalar, like):
+    """Broadcast one material row (scalar id) — no per-ray gather."""
+    mats = scene.materials
+
+    def row3(tab):
+        r = jax.lax.dynamic_slice_in_dim(tab, mid_scalar, 1, axis=0)[0]
+        return tuple(jnp.full_like(like, r[k]) for k in range(3))
+
+    smooth = jax.lax.dynamic_slice_in_dim(mats.smoothness, mid_scalar, 1)[0]
+    return dict(albedo=row3(mats.albedo), specular=row3(mats.specular),
+                emission=row3(mats.emission),
+                smoothness=jnp.full_like(like, smooth))
 
 
 def _ground_candidate(scene: Scene, ro: Vec3, rd: Vec3):
@@ -60,21 +75,60 @@ def _ground_candidate(scene: Scene, ro: Vec3, rd: Vec3):
     t = jnp.where(scene.ground_enabled > 0, t, INF)
     zeros = jnp.zeros_like(t)
     n = (zeros, jnp.ones_like(t), zeros)
-    mid = jnp.broadcast_to(scene.ground_material_id, t.shape).astype(jnp.int32)
-    return dict(t=t, normal=n, material_id=mid)
+    mat = _material_splat(scene, scene.ground_material_id.astype(jnp.int32), t)
+    return dict(t=t, normal=n, **mat)
 
 
 def _sphere_candidate(scene: Scene, ro: Vec3, rd: Vec3):
+    """Closest sphere hit with one-hot material/center resolution.
+
+    Per-ray gathers run serially on TPU (~22 ns/element), so for the small
+    sphere counts the reference exercises (<= 8 in Scene1) a one-hot
+    select-accumulate over spheres is far cheaper than 13 gathers.
+    """
     sp = scene.spheres
-    if sp.count == 0:
+    S = sp.count
+    if S == 0:
         return _empty_candidate(ro[0])
     ts = intersect_spheres(ro, rd, sp.center, sp.radius)  # (R, S)
+    t = jnp.min(ts, axis=1)
     best = jnp.argmin(ts, axis=1)
-    t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
-    center = vec.gather_rows(sp.center, best)
+
+    mats = scene.materials
+    acc = {k: (jnp.zeros_like(t),) * 3 for k in ("center", "albedo",
+                                                 "specular", "emission")}
+    smooth = jnp.zeros_like(t)
+    for s_i in range(S):
+        m = (best == s_i).astype(t.dtype)
+        mid = sp.material_id[s_i]
+
+        def add3(cur, tab_row):
+            return tuple(c + m * tab_row[k] for k, c in enumerate(cur))
+
+        mrow = lambda tab: jax.lax.dynamic_slice_in_dim(
+            tab, mid, 1, axis=0)[0]
+        acc["center"] = add3(acc["center"], sp.center[s_i])
+        acc["albedo"] = add3(acc["albedo"], mrow(mats.albedo))
+        acc["specular"] = add3(acc["specular"], mrow(mats.specular))
+        acc["emission"] = add3(acc["emission"], mrow(mats.emission))
+        smooth = smooth + m * jax.lax.dynamic_slice_in_dim(
+            mats.smoothness, mid, 1)[0]
+
     pos = vec.add(ro, vec.scale(rd, t))
-    n = vec.normalize(vec.sub(pos, center))
-    return dict(t=t, normal=n, material_id=sp.material_id[best])
+    n = vec.normalize(vec.sub(pos, acc["center"]))
+    return dict(t=t, normal=n, albedo=acc["albedo"],
+                specular=acc["specular"], emission=acc["emission"],
+                smoothness=smooth)
+
+
+def materials_for(scene: Scene, mid):
+    """Per-ray material params by id gather (CPU/reference paths only —
+    the TPU hot path resolves materials inside the Pallas kernel)."""
+    mats = scene.materials
+    return dict(albedo=vec.gather_rows(mats.albedo, mid),
+                specular=vec.gather_rows(mats.specular, mid),
+                emission=vec.gather_rows(mats.emission, mid),
+                smoothness=mats.smoothness[mid])
 
 
 def _triangle_candidate(scene: Scene, ro: Vec3, rd: Vec3):
@@ -91,11 +145,12 @@ def _triangle_candidate(scene: Scene, ro: Vec3, rd: Vec3):
     n1 = vec.gather_rows(tr.n1, best)
     n2 = vec.gather_rows(tr.n2, best)
     n = vec.add(vec.add(vec.scale(n0, w), vec.scale(n1, bu)), vec.scale(n2, bv))
-    return dict(t=t, normal=vec.normalize(n), material_id=tr.material_id[best])
+    return dict(t=t, normal=vec.normalize(n),
+                **materials_for(scene, tr.material_id[best]))
 
 
 def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
-    """Nearest-wins merge of per-source candidates + material gather.
+    """Nearest-wins merge of full-material candidates (gather-free).
 
     A sequential where-chain (no stacking) keeps every buffer a dense (N,)
     array.
@@ -106,18 +161,16 @@ def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
         best = dict(
             t=jnp.where(closer, c["t"], best["t"]),
             normal=vec.where(closer, c["normal"], best["normal"]),
-            material_id=jnp.where(closer, c["material_id"], best["material_id"]),
+            albedo=vec.where(closer, c["albedo"], best["albedo"]),
+            specular=vec.where(closer, c["specular"], best["specular"]),
+            emission=vec.where(closer, c["emission"], best["emission"]),
+            smoothness=jnp.where(closer, c["smoothness"], best["smoothness"]),
         )
     bt = best["t"]
-    bm = best["material_id"]
-    mats = scene.materials
-    albedo = vec.gather_rows(mats.albedo, bm)
-    specular = vec.gather_rows(mats.specular, bm)
-    emission = vec.gather_rows(mats.emission, bm)
-    smoothness = mats.smoothness[bm]
     pos = vec.add(ro, vec.scale(rd, bt))
-    return Hit(t=bt, position=pos, normal=best["normal"], albedo=albedo,
-               specular=specular, emission=emission, smoothness=smoothness)
+    return Hit(t=bt, position=pos, normal=best["normal"],
+               albedo=best["albedo"], specular=best["specular"],
+               emission=best["emission"], smoothness=best["smoothness"])
 
 
 def trace_brute(scene: Scene, ro: Vec3, rd: Vec3, chunk: int = 8192) -> Hit:

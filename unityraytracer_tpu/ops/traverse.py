@@ -83,8 +83,10 @@ def _cluster_triangle_hit(accel: ClusterAccel, ro: Vec3, rd: Vec3, cluster_ids):
             jnp.take_along_axis(tri_idx, s_best[:, None], 1)[:, 0])
 
 
-def _finish_triangle_hit(accel: ClusterAccel, t, u, v, tri_idx):
-    """Assemble a triangle candidate dict from the best (t, u, v, tri)."""
+def _finish_triangle_hit(scene, accel: ClusterAccel, t, u, v, tri_idx):
+    """Assemble a full-material triangle candidate from the best (t, u, v, tri)."""
+    from .trace import materials_for
+
     tr = accel.triangles
     w = 1.0 - u - v
     n0 = vec.gather_rows(tr.n0, tri_idx)
@@ -92,7 +94,7 @@ def _finish_triangle_hit(accel: ClusterAccel, t, u, v, tri_idx):
     n2 = vec.gather_rows(tr.n2, tri_idx)
     n = vec.add(vec.add(vec.scale(n0, w), vec.scale(n1, u)), vec.scale(n2, v))
     return dict(t=t, normal=vec.normalize(n),
-                material_id=tr.material_id[tri_idx])
+                **materials_for(scene, tr.material_id[tri_idx]))
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +117,7 @@ def _aabb_single(ro: Vec3, inv: Vec3, bmin: Vec3, bmax: Vec3, best_t):
     return (t_max >= t_min) & (t_max > 0) & (jnp.maximum(t_min, 0.0) < best_t)
 
 
-def _triangle_bvh_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3):
+def _triangle_bvh_candidate(scene, accel: ClusterAccel, ro: Vec3, rd: Vec3):
     """Closest triangle hit via masked stack traversal."""
     R = ro[0].shape[0]
     C = accel.num_clusters
@@ -167,7 +169,7 @@ def _triangle_bvh_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3):
     state = (stack, sp, best_t, best_u, best_v, best_tri)
     _, _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
         cond, body, state)
-    return _finish_triangle_hit(accel, best_t, best_u, best_v, best_tri)
+    return _finish_triangle_hit(scene, accel, best_t, best_u, best_v, best_tri)
 
 
 def _masked_push(stack, sp, value, mask):
@@ -182,7 +184,7 @@ def _masked_push(stack, sp, value, mask):
 # Strategy 2: dense cluster culling with sorted rounds
 # ---------------------------------------------------------------------------
 
-def _triangle_cluster_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3,
+def _triangle_cluster_candidate(scene, accel: ClusterAccel, ro: Vec3, rd: Vec3,
                                 round_size: int = 8):
     """Closest triangle hit via sorted dense cluster sweep."""
     R = ro[0].shape[0]
@@ -227,7 +229,7 @@ def _triangle_cluster_candidate(accel: ClusterAccel, ro: Vec3, rd: Vec3,
     state = (jnp.int32(0), jnp.full((R,), INF), jnp.zeros((R,)),
              jnp.zeros((R,)), jnp.zeros((R,), jnp.int32))
     _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(cond, body, state)
-    return _finish_triangle_hit(accel, best_t, best_u, best_v, best_tri)
+    return _finish_triangle_hit(scene, accel, best_t, best_u, best_v, best_tri)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +257,7 @@ def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
             cands = [_ground_candidate(scene, ro_c, rd_c),
                      _sphere_candidate(scene, ro_c, rd_c)]
             if has_tris:
-                cands.append(tri_fn(accel, ro_c, rd_c))
+                cands.append(tri_fn(scene, accel, ro_c, rd_c))
             return combine_candidates(scene, ro_c, rd_c, cands)
 
         return map_chunked(body, (*ro, *rd), cfg.ray_chunk)

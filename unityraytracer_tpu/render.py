@@ -27,7 +27,7 @@ from flax import struct
 from .camera import Camera, camera_rays_soa
 from .config import RenderConfig
 from .ops import vec as vec_ops
-from .ops.shade import Hit, shade
+from .ops.shade import Hit, sample_skybox, sample_skybox_rgbe, shade
 from .ops.sampling import sample_unit_disk
 from .ops import trace as trace_ops
 from .scene import Scene
@@ -160,6 +160,12 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     zero = jnp.zeros((N,), jnp.float32)
     energy = (one, one.copy(), one.copy())
     radiance = (zero, zero.copy(), zero.copy())
+    # Deferred environment: record (direction, throughput) at each ray's
+    # first miss; resolve the skybox ONCE after the bounce loop (per-ray
+    # gathers are ~22 ns/element on TPU — the reference's per-bounce sky
+    # sampling, compute:424-426, would cost 12 gathers x bounces).
+    sky_e = (zero.copy(), zero.copy(), zero.copy())
+    sky_d = (zero.copy(), one.copy(), zero.copy())
 
     # Bounce loop (compute:453-461). Static trip count; dead lanes carry zero
     # energy. With cfg.wavefront, dead rays are "parked" far outside every
@@ -167,30 +173,34 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     # tracer's tile-level culling skips all geometry work for ray tiles that
     # died together — the static-shape TPU form of the reference's per-thread
     # early-out (compute:457-460).
+    # NOTE: a per-bounce coherence sort (Morton key over origins) was tried
+    # here and removed: applying the permutation costs 23 per-ray gathers per
+    # bounce at ~46 ms each on v5e — more than the kernel time it saves.
+    # Wavefront mode therefore only PARKS dead rays (below); tile coherence
+    # for live secondary rays is future work (multi-payload lax.sort).
     alive = jnp.ones((N,), bool)
     for b in range(cfg.bounces):
-        if cfg.wavefront and b > 0:
-            # Wavefront re-sort: restore tile coherence for scattered bounce
-            # rays and compact dead rays into skippable tiles.
-            skey = _ray_sort_key(scene, ro, rd, alive)
-            order = jnp.argsort(skey)
-            inv = jnp.zeros((N,), jnp.int32).at[order].set(
-                jnp.arange(N, dtype=jnp.int32))
-            hit: Hit = tracer(tuple(c[order] for c in ro),
-                              tuple(c[order] for c in rd))
-            hit = jax.tree_util.tree_map(lambda a: a[inv], hit)
-        else:
-            hit = tracer(ro, rd)
+        hit = tracer(ro, rd)
         kb = jax.random.fold_in(k_bounce, b)
         uniforms = tuple(jax.random.uniform(jax.random.fold_in(kb, i), (N,))
                          for i in range(3))
-        ro, rd, energy, contrib = shade(ro, rd, energy, hit, scene.skybox,
-                                        uniforms)
+        energy_before = energy
+        ro, rd_new, energy, contrib, missed = shade(ro, rd, energy, hit,
+                                                    uniforms)
         radiance = vec_ops.add(radiance, contrib)
+        record = missed & alive
+        sky_e = vec_ops.where(record, energy_before, sky_e)
+        sky_d = vec_ops.where(record, rd, sky_d)
+        rd = rd_new
+        alive = alive & ~missed & ((energy[0] > 0) | (energy[1] > 0)
+                                   | (energy[2] > 0))
         if cfg.wavefront and b + 1 < cfg.bounces:
-            alive = (energy[0] > 0) | (energy[1] > 0) | (energy[2] > 0)
             ro = vec_ops.where(alive, ro, vec_ops.splat((1e7, 1e7, 1e7), ro[0]))
             rd = vec_ops.where(alive, rd, vec_ops.splat((0.0, 1.0, 0.0), rd[0]))
+
+    sky = sample_skybox_rgbe(scene.skybox, sky_d) if cfg.sky_rgbe \
+        else sample_skybox(scene.skybox, sky_d)
+    radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
 
     if inv_perm is not None:
         take = lambda a: a.reshape(spp, h * W)[:, inv_perm].reshape(N)
