@@ -49,6 +49,10 @@ class RenderConfig:
     # Environment lookup through a packed RGBE plane (4 gathers/frame instead
     # of 12; ~0.4% radiance quantization, far below MC noise).
     sky_rgbe: bool = True
+    # Unbiased Russian-roulette path termination from bounce 3 (survivors are
+    # reweighted): collapses deep-bounce ray populations so the wavefront
+    # parking skips whole tiles.
+    russian_roulette: bool = True
 
     @property
     def num_pixels(self) -> int:

@@ -53,6 +53,9 @@ _SCENE1_OBJECTS = [
      (-0.19411941, 0.34372243, -0.45757997, 0.7967391), (2.0, 1.0, 2.0),
      Material(albedo=(0.07613921, 0.5566038, 0.09271942),
               specular=(0.95880055, 1.0, 0.6084906), smoothness=0.8)),
+    ("Capsule", "capsule", (4.56, 2.47, -5.89),
+     (0.27786314, -0.08116225, -0.09726531, 0.9522312), (1.0, 1.0, 1.0),
+     _DEF),
     ("Cube", "cube", (-1.65, 1.38, -8.68),
      (0.01028319, 0.072073095, 0.140872, 0.98734736), (0.2, 0.2, 0.2),
      Material(albedo=(0.08001069, 0.5849056, 0.083621256),

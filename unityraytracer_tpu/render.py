@@ -194,6 +194,20 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
         rd = rd_new
         alive = alive & ~missed & ((energy[0] > 0) | (energy[1] > 0)
                                    | (energy[2] > 0))
+        if cfg.russian_roulette and 2 <= b < cfg.bounces - 1:
+            # Unbiased Russian roulette from bounce 3: kill with probability
+            # 1 - max(energy), boost survivors by 1/p. Deep-bounce ray
+            # populations collapse, and the wavefront parking below turns
+            # that directly into skipped kernel tiles. (The reference never
+            # terminates by throughput: its lobe chances are normalized to
+            # sum to 1, compute:392-394 — rays only die by missing.)
+            u_rr = jax.random.uniform(jax.random.fold_in(kb, 3), (N,))
+            p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0], energy[1]),
+                                          energy[2]), 0.05, 1.0)
+            keep = u_rr < p_surv
+            boost = jnp.where(keep, 1.0 / p_surv, 0.0)
+            energy = vec_ops.scale(energy, boost)
+            alive = alive & keep
         if cfg.wavefront and b + 1 < cfg.bounces:
             ro = vec_ops.where(alive, ro, vec_ops.splat((1e7, 1e7, 1e7), ro[0]))
             rd = vec_ops.where(alive, rd, vec_ops.splat((0.0, 1.0, 0.0), rd[0]))
@@ -284,3 +298,39 @@ class Renderer:
     @property
     def sample_count(self) -> int:
         return int(jax.device_get(self.state.n_samples))
+
+    # -- export / checkpoint ---------------------------------------------------
+    def save_screenshot(self, path: Optional[str] = None, tonemap: bool = True
+                        ) -> str:
+        """Write the converged image as a PNG (the F12 capture analog,
+        RayTraceMaster.cs:761-763; default name mirrors its
+        ``Screenshots/<time>-<sample>.png`` pattern)."""
+        import os
+        import time as _time
+        from .utils.image import tonemap_aces, write_png
+
+        if path is None:
+            os.makedirs("Screenshots", exist_ok=True)
+            path = os.path.join(
+                "Screenshots", f"{int(_time.time())}-{self.sample_count}.png")
+        img = self.image
+        return write_png(path, tonemap_aces(img) if tonemap else img)
+
+    def save_state(self, path: str) -> str:
+        """Checkpoint the progressive accumulator (accum + sample count).
+
+        The reference's only recovery story is its in-GPU running mean
+        (SURVEY.md aux table); here the (accum, n_samples) pair is explicit
+        jit-carried state, so a render can resume exactly after a restart.
+        """
+        np.savez(path, accum=self.image,
+                 n_samples=np.int32(self.sample_count),
+                 key=np.asarray(jax.random.key_data(self._key)))
+        return path
+
+    def load_state(self, path: str) -> "Renderer":
+        data = np.load(path)
+        self.state = RenderState(accum=jnp.asarray(data["accum"]),
+                                 n_samples=jnp.int32(int(data["n_samples"])))
+        self._key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        return self

@@ -105,12 +105,14 @@ def test_ray_report(accel: ClusterAccel, origin, direction) -> Dict:
     RayTraceDebug.cs:70-89,120-133): which clusters does this ray's slab test
     touch, in entry order?"""
     import jax.numpy as jnp
-    ro = jnp.asarray(np.asarray(origin, np.float32)[None])
-    rd = np.asarray(direction, np.float64)
-    rd = rd / np.linalg.norm(rd)
-    rdj = jnp.asarray(rd.astype(np.float32)[None])
+    o = np.asarray(origin, np.float32)
+    d = np.asarray(direction, np.float64)
+    d = (d / np.linalg.norm(d)).astype(np.float32)
+    ro = tuple(jnp.full((1,), o[k]) for k in range(3))
+    rdj = tuple(jnp.full((1,), d[k]) for k in range(3))
     hit, t_enter = intersect_aabb(ro, safe_inv_dir(rdj),
-                                  accel.cluster_vmin, accel.cluster_vmax)
+                                  jnp.asarray(accel.cluster_vmin),
+                                  jnp.asarray(accel.cluster_vmax))
     hit = np.asarray(hit)[0]
     t_enter = np.asarray(t_enter)[0]
     order = np.argsort(np.where(hit, t_enter, np.inf))
