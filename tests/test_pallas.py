@@ -96,14 +96,15 @@ def test_kernel_multi_page_scene():
 
 
 def test_prepare_pallas_accel_shapes():
-    pa = prepare_pallas_accel(ACCEL)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
     assert pa.pgb.shape == (8, 128)
-    assert len(pa.cl_cols) == 6 and len(pa.tri_rows) == 9
+    assert len(pa.cl_cols) == 6
     G = pa.cl_cols[0].shape[0]
     assert pa.n_pages == G
-    Cp = pa.tri_rows[0].shape[0]
-    assert Cp == G * 128
-    assert pa.tri_rows[0].shape[1] == 128
+    Cp = G * 128
+    assert pa.epluck.shape == (Cp * 8, 3 * 128)
+    assert pa.eplane.shape == (Cp * 8, 128)
+    assert pa.chan.shape[0] == Cp * 24 and pa.chan.shape[1] == 128
 
 
 def test_render_through_pallas_tracer():

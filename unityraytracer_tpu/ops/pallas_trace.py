@@ -135,10 +135,7 @@ def _trace_kernel(n_pages: int,
                   pgb_ref,
                   cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref,
-                  v0x_ref, v0y_ref, v0z_ref,
-                  e1x_ref, e1y_ref, e1z_ref,
-                  e2x_ref, e2y_ref, e2z_ref,
-                  chan_ref,
+                  epl_ref, epn_ref, chan_ref,
                   out_t_ref, *out_chans):
     # out_chans: 13 (ROWS, TILE) f32 refs — nx, ny, nz, albedo rgb,
     # specular rgb, emission rgb, smoothness. Shading data is resolved
@@ -168,38 +165,51 @@ def _trace_kernel(n_pages: int,
 
         inv = tuple(safe_inv(d) for d in rd)
 
+        # Per-ray Pluecker coordinates + homogeneous forms, built once per
+        # row: the triangle test contracts per-triangle coefficient blocks
+        # against these on the MXU (see cluster_pass).
+        zero_row = jnp.zeros((1, TILE), jnp.float32)
+        mx = roy * rdz - roz * rdy           # m = o x d
+        my = roz * rdx - rox * rdz
+        mz = rox * rdy - roy * rdx
+        P8 = jnp.concatenate([rdx, rdy, rdz, mx, my, mz,
+                              zero_row, zero_row], axis=0)        # (8, TILE)
+        O4 = jnp.concatenate([-rox, -roy, -roz, zero_row - 1.0,
+                              zero_row, zero_row, zero_row, zero_row], axis=0)
+        D4 = jnp.concatenate([rdx, rdy, rdz] + [zero_row] * 5, axis=0)
+
         def best_t():
             return out_t_ref[rs, :]
 
         def cluster_pass(c):
-            """Dense (tris, rays) MT97 for cluster c + masked best update."""
-            v0x = _col(v0x_ref[c, :].reshape(1, KSIZE))
-            v0y = _col(v0y_ref[c, :].reshape(1, KSIZE))
-            v0z = _col(v0z_ref[c, :].reshape(1, KSIZE))
-            e1x = _col(e1x_ref[c, :].reshape(1, KSIZE))
-            e1y = _col(e1y_ref[c, :].reshape(1, KSIZE))
-            e1z = _col(e1z_ref[c, :].reshape(1, KSIZE))
-            e2x = _col(e2x_ref[c, :].reshape(1, KSIZE))
-            e2y = _col(e2y_ref[c, :].reshape(1, KSIZE))
-            e2z = _col(e2z_ref[c, :].reshape(1, KSIZE))
-            # pvec = rd x e2 -> (tris, rays)
-            px = rdy * e2z - rdz * e2y
-            py = rdz * e2x - rdx * e2z
-            pz = rdx * e2y - rdy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            front = det >= 1e-8                  # backface cull, compute:211
-            inv_det = 1.0 / jnp.where(front, det, 1.0)
-            tx = rox - v0x
-            ty = roy - v0y
-            tz = roz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (front & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > 0.0) & (t < best_t()))
+            """Dense (tris, rays) Pluecker test for cluster c + best update.
+
+            Edge-side values are one MXU contraction of the cluster's packed
+            (8, 3*KSIZE) edge-coefficient block against the per-ray Pluecker
+            vectors; the plane distance is two more (8, KSIZE) contractions.
+            Replaces a ~45-op VPU Moller-Trumbore with ~16 VPU ops + three
+            small matmuls (math validated against MT97: front face iff
+            n.d < -eps, inside iff all edge values <= 0, u = e20/sum,
+            v = e01/sum).
+            """
+            eblk = epl_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, 3K)
+            pblk = epn_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, K)
+            e_all = jax.lax.dot_general(
+                eblk, P8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (3K, rays)
+            e01 = e_all[0:KSIZE, :]
+            e12 = e_all[KSIZE:2 * KSIZE, :]
+            e20 = e_all[2 * KSIZE:3 * KSIZE, :]
+            t_num = jax.lax.dot_general(
+                pblk, O4, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (K, rays)
+            t_den = jax.lax.dot_general(
+                pblk, D4, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            front = t_den <= -1e-8               # == MT97 det >= 1e-8
+            t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
+            ok = (front & (e01 <= 0.0) & (e12 <= 0.0) & (e20 <= 0.0)
+                  & (t > 0.0) & (t < best_t()))
             t_bits = jax.lax.bitcast_convert_type(jnp.where(ok, t, _F32_MAX),
                                                   jnp.int32)
             key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LANE_MASK), sub_mat)
@@ -225,12 +235,15 @@ def _trace_kernel(n_pages: int,
                 sel = jnp.dot(chan, pick,
                               preferred_element_type=jnp.float32)  # (NCHAN, rays)
                 # Exact t and barycentrics of the winner (removes the key
-                # truncation): one masked reduce each.
+                # truncation): one masked reduce each. Barycentrics from the
+                # edge values: u = e20/sum, v = e01/sum.
+                ssum = e01 + e12 + e20
+                inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
                 t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
                                 keepdims=True)
-                u_sel = jnp.sum(jnp.where(pick > 0, u, 0.0), axis=0,
+                u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0), axis=0,
                                 keepdims=True)
-                v_sel = jnp.sum(jnp.where(pick > 0, v, 0.0), axis=0,
+                v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0), axis=0,
                                 keepdims=True)
                 w_sel = 1.0 - u_sel - v_sel
                 # Smooth normal: barycentric blend of the winner's vertex
@@ -295,7 +308,10 @@ class PallasAccel:
 
     pgb: jnp.ndarray                 # (8, MAX_PAGES) page bounds rows
     cl_cols: Tuple[jnp.ndarray, ...]  # 6 x (G, PAGE) cluster bounds
-    tri_rows: Tuple[jnp.ndarray, ...]  # 9 x (Cp, KSIZE) v0/e1/e2 components
+    epluck: jnp.ndarray              # (Cp*8, 3*KSIZE) edge Pluecker coeffs:
+                                     # rows 0-5 = (moment xyz, dir xyz) for
+                                     # edges v0v1 | v1v2 | v2v0 (lane-major)
+    eplane: jnp.ndarray              # (Cp*8, KSIZE): rows 0-3 = (n xyz, dp)
     chan: jnp.ndarray                # (Cp*NCHAN, KSIZE) packed attributes:
                                      # n0/n1/n2 xyz, albedo, specular,
                                      # emission, smoothness (19 rows + pad)
@@ -355,16 +371,33 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
     pgb[0:3, :G] = pvmin.T
     pgb[3:6, :G] = pvmax.T
 
-    def rows(a, k):
-        return np.ascontiguousarray(a[:, k].reshape(Cp, KSIZE))
-
     cl_cols = tuple(np.ascontiguousarray(cvmin[:, k].reshape(G, PAGE))
                     for k in range(3)) \
         + tuple(np.ascontiguousarray(cvmax[:, k].reshape(G, PAGE))
                 for k in range(3))
-    tri_rows = (rows(v0p, 0), rows(v0p, 1), rows(v0p, 2),
-                rows(e1, 0), rows(e1, 1), rows(e1, 2),
-                rows(e2, 0), rows(e2, 1), rows(e2, 2))
+
+    # Edge Pluecker coefficient blocks: e(edge, ray) = dir_e . (o x d)
+    #                                               + moment_e . d
+    # packed so the kernel contracts (8, 3*KSIZE) against the per-ray
+    # [d, o x d] vector on the MXU. Plane block gives t via n.x + dp = 0.
+    v1p_, v2p_ = v1p, v2p
+    epluck = np.zeros((Cp, 8, 3 * KSIZE), np.float32)
+    for k, (a, b) in enumerate(((v0p, v1p_), (v1p_, v2p_), (v2p_, v0p))):
+        emom = np.cross(a, b)          # pairs with ray direction d
+        edir = b - a                   # pairs with ray moment o x d
+        lanes = slice(k * KSIZE, (k + 1) * KSIZE)
+        for ax in range(3):
+            epluck[:, ax, lanes] = emom[:, ax].reshape(Cp, KSIZE)
+            epluck[:, 3 + ax, lanes] = edir[:, ax].reshape(Cp, KSIZE)
+    epluck = epluck.reshape(Cp * 8, 3 * KSIZE)
+
+    nrm = np.cross(e1, e2)
+    dp = -np.sum(nrm * v0p, axis=1)
+    eplane = np.zeros((Cp, 8, KSIZE), np.float32)
+    for ax in range(3):
+        eplane[:, ax, :] = nrm[:, ax].reshape(Cp, KSIZE)
+    eplane[:, 3, :] = dp.reshape(Cp, KSIZE)
+    eplane = eplane.reshape(Cp * 8, KSIZE)
 
     # Packed per-triangle attribute block (NCHAN rows per cluster).
     n0 = pad(np.asarray(tr.n0))
@@ -395,8 +428,8 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
     chan = chan.reshape(Cp * NCHAN, KSIZE)
 
     # Host numpy leaves; callers device_put the pytree once per scene build.
-    return PallasAccel(pgb=pgb, cl_cols=cl_cols,
-                       tri_rows=tri_rows, chan=chan, n_pages=G)
+    return PallasAccel(pgb=pgb, cl_cols=cl_cols, epluck=epluck,
+                       eplane=eplane, chan=chan, n_pages=G)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
@@ -408,7 +441,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
     Returns 14 (N,) arrays: t, nx, ny, nz, albedo rgb, specular rgb,
     emission rgb, smoothness.
     """
-    pgb, cl_cols, tri_rows, n_pages = pa.pgb, pa.cl_cols, pa.tri_rows, pa.n_pages
+    pgb, cl_cols, n_pages = pa.pgb, pa.cl_cols, pa.n_pages
     N = ro[0].shape[0]
     n_rows = N // TILE
     n_steps = N // BLOCK
@@ -428,14 +461,18 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
                  for _ in range(N_OUTS)]
 
     kernel = functools.partial(_trace_kernel, n_pages)
+    # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
+    # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[blk_spec] * 6 + [full()] * (1 + 6 + 9 + 1),
+        in_specs=[blk_spec] * 6 + [full()] * (1 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
+        compiler_params=None if interpret else params,
         interpret=interpret,
-    )(*ray_in, pgb, *cl_cols, *tri_rows, pa.chan)
+    )(*ray_in, pgb, *cl_cols, pa.epluck, pa.eplane, pa.chan)
 
     return tuple(o.reshape(N) for o in outs)
 
