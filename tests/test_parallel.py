@@ -82,3 +82,22 @@ def test_accel_tracer_under_shard_map():
     r = ShardedRenderer(SCENE, CAM, cfg, seed=0, mode="rows").step(2)
     assert np.isfinite(r.image).all()
     assert r.sample_count == 2
+
+
+def test_pallas_tracer_under_shard_map():
+    # The fused-kernel path (interpret mode on CPU) must compose with
+    # multi-chip row sharding.
+    from unityraytracer_tpu.models import primitives as P
+    from unityraytracer_tpu.utils.math3d import trs_matrix
+
+    b = SceneBuilder()
+    v, f, n = P.icosphere(2)
+    b.add_mesh(v, f, transform=trs_matrix((0, 1, 0), (0, 0, 0), 2.0))
+    b.set_skybox(np.ones((4, 8, 3), np.float32) * 0.7)
+    scene = b.build()
+    cfg = CFG.replace(tracer="pallas", width=32, height=32)
+    r = ShardedRenderer(scene, CAM, cfg, seed=0, mode="rows").step(2)
+    img = r.image
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05

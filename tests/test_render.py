@@ -127,3 +127,12 @@ def test_emissive_sphere_contributes():
     img = np.asarray(render_sample(scene, tracer, CAM, jax.random.key(0), CFG))
     center = img[20:28, 20:28].mean(axis=(0, 1))
     assert center[0] > 1.0 and center[2] > 0.4 and center[1] < 0.2
+
+
+def test_resize_resets_and_rerenders():
+    r = Renderer(SCENE, CAM, CFG, seed=0).step(2)
+    r.resize(32, 32)
+    assert r.sample_count == 0
+    r.step(1)
+    assert r.image.shape == (32, 32, 3)
+    assert "mrays_per_sec" in r.stats and r.stats["frames"] == 1

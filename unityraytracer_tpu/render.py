@@ -143,18 +143,16 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     # rays spatially compact (row-major order would make 128x1 slivers that
     # span the scene and defeat culling). Permute rays into block order here,
     # un-permute radiance at the end.
-    inv_perm = None
-    if cfg.tracer == "pallas" and h % 8 == 0 and W % 16 == 0:
-        # NOTE: keep these as numpy (HLO literal constants). jnp.asarray here
-        # would create concrete device arrays captured by the trace, and
-        # captured device arrays degrade the whole compiled program on TPU
-        # (measured: unrelated gathers run ~800x slower when any are present).
-        perm = (np.arange(h * W).reshape(h // 8, 8, W // 16, 16)
-                .transpose(0, 2, 1, 3).reshape(-1))
-        inv_perm = np.argsort(perm)
-        take = lambda a: a.reshape(spp, h * W)[:, perm].reshape(N)
-        ro = tuple(take(c) for c in ro)
-        rd = tuple(take(c) for c in rd)
+    blocked = cfg.tracer == "pallas" and h % 8 == 0 and W % 16 == 0
+    if blocked:
+        # Reorder via pure TRANSPOSES (cheap relayouts) — index-based
+        # permutation gathers would cost ~18-46 ms each on TPU.
+        def to_blocks(a):
+            return (a.reshape(spp, h // 8, 8, W // 16, 16)
+                    .transpose(0, 1, 3, 2, 4).reshape(N))
+
+        ro = tuple(to_blocks(c.reshape(spp, h, W)) for c in ro)
+        rd = tuple(to_blocks(c.reshape(spp, h, W)) for c in rd)
 
     one = jnp.ones((N,), jnp.float32)
     zero = jnp.zeros((N,), jnp.float32)
@@ -216,9 +214,12 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
         else sample_skybox(scene.skybox, sky_d)
     radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
 
-    if inv_perm is not None:
-        take = lambda a: a.reshape(spp, h * W)[:, inv_perm].reshape(N)
-        radiance = tuple(take(c) for c in radiance)
+    if blocked:
+        def from_blocks(a):
+            return (a.reshape(spp, h // 8, W // 16, 8, 16)
+                    .transpose(0, 1, 3, 2, 4).reshape(spp, h, W))
+
+        radiance = tuple(from_blocks(c) for c in radiance)
     # Stack to (h, W, 3) only at the very end (single boundary transpose).
     img = jnp.stack([c.reshape(spp, h, W).mean(axis=0) for c in radiance],
                     axis=-1)
@@ -253,6 +254,7 @@ class Renderer:
         self.accel = jax.device_put(accel) if accel is not None else None
         self._key = jax.random.key(seed)
         self.state = RenderState.create(config.width, config.height)
+        self.stats = {}
         self._compiled = self._build_step()
 
     def _build_step(self):
@@ -274,6 +276,13 @@ class Renderer:
         self.camera = camera
         self.reset()
 
+    def resize(self, width: int, height: int):
+        """Change the framebuffer size; recompiles the step and resets the
+        accumulator (InitRenderTexture semantics, RayTraceMaster.cs:824-845)."""
+        self.config = self.config.replace(width=width, height=height)
+        self._compiled = self._build_step()
+        self.reset()
+
     def set_scene(self, scene: Scene, accel=None):
         if accel is None and self.config.tracer not in ("brute",):
             from .ops import bvh
@@ -284,10 +293,23 @@ class Renderer:
 
     # -- stepping --------------------------------------------------------------
     def step(self, n_frames: int = 1) -> "Renderer":
+        """Advance the progressive render; records fetch-timed throughput in
+        ``self.stats`` (the per-frame Mrays/s counter the reference lacks)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         for _ in range(n_frames):
             self._key, sub = jax.random.split(self._key)
             self.state = self._compiled(self.state, self.scene, self.camera,
                                         self.accel, sub)
+        # One fetch synchronizes the chain (block_until_ready does not block
+        # through remote execution tunnels).
+        np.asarray(jax.device_get(self.state.n_samples))
+        dt = _time.perf_counter() - t0
+        rays = self.config.num_rays * self.config.bounces * n_frames
+        self.stats = dict(frames=n_frames, seconds=dt,
+                          ms_per_frame=dt / n_frames * 1000.0,
+                          mrays_per_sec=rays / dt / 1e6)
         return self
 
     @property
