@@ -147,3 +147,45 @@ def test_gradient_sky_shape():
     assert (sky >= 0).all()
     # Zenith brighter blue than nadir.
     assert sky[0, 0, 2] > sky[-1, 0, 2]
+
+
+def test_scene_builder_remove():
+    from unityraytracer_tpu import SceneBuilder
+    b = SceneBuilder()
+    b.add_sphere((0, 1, 0), 1.0)
+    h_sphere = b.last_handle
+    b.add_sphere((3, 1, 0), 1.0)
+    v, f, n = P.quad()
+    b.add_mesh(v, f)
+    h_mesh = b.last_handle
+    b.add_mesh(v, f)
+    b.remove(h_sphere)
+    b.remove(h_mesh)
+    s = b.build()
+    assert s.num_spheres == 1
+    assert s.num_triangles == 2  # one quad left
+
+
+def test_hdr_rle_scanlines(tmp_path):
+    # Hand-encode a new-style RLE scanline file and decode it.
+    import struct as _struct
+    H, W = 2, 16
+    img = np.zeros((H, W, 3), np.float32)
+    img[0, :, 0] = 1.0   # constant red row -> run-encodable
+    img[1, :, 1] = np.linspace(0.1, 1.0, W)  # varying -> literals
+    rgbe = float_to_rgbe(img)
+    path = tmp_path / "rle.hdr"
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {H} +X {W}\n".encode())
+        for row in range(H):
+            f.write(bytes([2, 2, (W >> 8) & 0xFF, W & 0xFF]))
+            for ch in range(4):
+                col = rgbe[row, :, ch]
+                if np.all(col == col[0]):
+                    f.write(bytes([128 + W, int(col[0])]))      # one run
+                else:
+                    f.write(bytes([W]) + bytes(col.tolist()))    # literals
+    back = load_hdr(str(path))
+    rel = np.abs(back - img) / np.maximum(img, 1e-2)
+    assert rel.max() < 0.05

@@ -184,8 +184,11 @@ class SceneBuilder:
         self._tri_n: List[np.ndarray] = []
         self._tri_mat_ids: List[np.ndarray] = []
         self._materials: List[Material] = []
+        self._sphere_removed = set()
+        self._mesh_removed = set()
         self._ground = True
         self._skybox: Optional[np.ndarray] = None
+        self.last_handle = None  # set by add_sphere/add_mesh; pass to remove()
         self.dirty = True
 
     # -- registration API ---------------------------------------------------
@@ -200,6 +203,7 @@ class SceneBuilder:
         self._sphere_centers.append(np.asarray(center, np.float32))
         self._sphere_radii.append(np.float32(radius))
         self._sphere_mats.append(mid)
+        self.last_handle = ("sphere", len(self._sphere_centers) - 1)
         self.dirty = True
         return self
 
@@ -244,6 +248,19 @@ class SceneBuilder:
         self._tri_v.append(tri_v)
         self._tri_n.append(tri_n)
         self._tri_mat_ids.append(np.full((len(indices),), mid, np.int32))
+        self.last_handle = ("mesh", len(self._tri_v) - 1)
+        self.dirty = True
+        return self
+
+    def remove(self, handle) -> "SceneBuilder":
+        """Unregister a previously added object (UnregisterObject analog,
+        RayTraceObject.cs:47 -> RayTraceMaster.cs:224): pass the handle
+        returned by add_sphere/add_mesh."""
+        kind, idx = handle
+        if kind == "sphere":
+            self._sphere_removed.add(idx)
+        else:
+            self._mesh_removed.add(idx)
         self.dirty = True
         return self
 
@@ -266,21 +283,28 @@ class SceneBuilder:
         mats.append(GROUND_MATERIAL)
         materials = Materials.from_list(mats)
 
-        if self._sphere_centers:
+        keep_s = [i for i in range(len(self._sphere_centers))
+                  if i not in self._sphere_removed]
+        if keep_s:
             spheres = Spheres(
-                center=np.stack(self._sphere_centers).astype(np.float32),
-                radius=np.stack(self._sphere_radii).astype(np.float32),
-                material_id=np.asarray(self._sphere_mats, np.int32),
+                center=np.stack([self._sphere_centers[i] for i in keep_s]
+                                ).astype(np.float32),
+                radius=np.stack([self._sphere_radii[i] for i in keep_s]
+                                ).astype(np.float32),
+                material_id=np.asarray([self._sphere_mats[i] for i in keep_s],
+                                       np.int32),
             )
         else:
             spheres = Spheres(center=np.zeros((0, 3), np.float32),
                               radius=np.zeros((0,), np.float32),
                               material_id=np.zeros((0,), np.int32))
 
-        if self._tri_v:
-            tv = np.concatenate(self._tri_v, axis=0)
-            tn = np.concatenate(self._tri_n, axis=0)
-            tm = np.concatenate(self._tri_mat_ids, axis=0)
+        keep_m = [i for i in range(len(self._tri_v))
+                  if i not in self._mesh_removed]
+        if keep_m:
+            tv = np.concatenate([self._tri_v[i] for i in keep_m], axis=0)
+            tn = np.concatenate([self._tri_n[i] for i in keep_m], axis=0)
+            tm = np.concatenate([self._tri_mat_ids[i] for i in keep_m], axis=0)
         else:
             tv = np.zeros((0, 3, 3), np.float32)
             tn = np.zeros((0, 3, 3), np.float32)
