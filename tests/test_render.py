@@ -136,3 +136,25 @@ def test_resize_resets_and_rerenders():
     r.step(1)
     assert r.image.shape == (32, 32, 3)
     assert "mrays_per_sec" in r.stats and r.stats["frames"] == 1
+
+
+def test_golden_scene1_regression():
+    """Golden-image regression: Scene1 small render with fixed seed must stay
+    within MC-noise distance of the stored reference (guards silent breakage
+    of camera/shading/accumulation semantics across refactors)."""
+    from unityraytracer_tpu.models import fixtures
+    from unityraytracer_tpu.utils.image import rmse
+
+    golden = np.load("tests/golden_scene1.npz")["image"].astype(np.float32)
+    scene = fixtures.scene1()
+    cam = fixtures.scene1_camera(aspect=64 / 48)
+    cfg = RenderConfig(width=64, height=48, spp=2, bounces=3, tracer="brute",
+                       ray_chunk=6144)
+    r = Renderer(scene, cam, cfg, seed=123).step(8)
+    # Same seed + same estimator => near-identical (float16 storage + any
+    # benign op-order drift allowed for).
+    assert rmse(r.image, golden) < 2e-3
+    # And the accelerated tracer converges to the same image statistically.
+    cfg_c = cfg.replace(tracer="cluster", cluster_size=32)
+    rc = Renderer(scene, cam, cfg_c, seed=123).step(8)
+    assert rmse(rc.image, golden) < 2e-3
