@@ -129,3 +129,29 @@ def test_rgbe_skybox_close_to_exact():
     packed = np.stack([np.asarray(c) for c in sample_skybox_rgbe(sky, rd)])
     rel = np.abs(packed - exact) / np.maximum(np.abs(exact), 1e-2)
     assert rel.max() < 0.02  # RGBE quantization ~0.4%
+
+
+def test_stochastic_sky_tap_is_unbiased():
+    # Expectation of the single stochastic tap == bilinear filtering.
+    from unityraytracer_tpu.ops.shade import sample_skybox_rgbe
+    from unityraytracer_tpu.models.skybox import gradient_sky
+    import jax
+
+    sky = jnp.asarray(gradient_sky(16, 32))
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(3, 64)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    rd = tuple(jnp.asarray(d[k]) for k in range(3))
+    exact = np.stack([np.asarray(c) for c in sample_skybox_rgbe(sky, rd)])
+    acc = np.zeros_like(exact)
+    K = 400
+    key = jax.random.key(0)
+    for i in range(K):
+        key, k1, k2 = jax.random.split(key, 3)
+        u1 = jax.random.uniform(k1, (64,))
+        u2 = jax.random.uniform(k2, (64,))
+        tap = sample_skybox_rgbe(sky, rd, u1=u1, u2=u2)
+        acc += np.stack([np.asarray(c) for c in tap])
+    acc /= K
+    rel = np.abs(acc - exact) / np.maximum(np.abs(exact), 1e-2)
+    assert rel.max() < 0.08  # MC error ~1/sqrt(400) of texel deltas

@@ -125,12 +125,25 @@ def _equirect_coords(skybox_hw, rd: Vec3):
     return (y0, y1, x0, x1, fy - y0f, fx - x0f)
 
 
-def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True) -> Vec3:
+def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True,
+                       u1=None, u2=None) -> Vec3:
     """Equirect lookup through a packed RGBE plane (4 gathers bilinear,
-    1 gather nearest). Same mapping as sample_skybox."""
+    1 gather nearest/stochastic). Same mapping as sample_skybox.
+
+    With ``u1``/``u2`` (per-ray uniforms), a single STOCHASTIC tap picks each
+    bilinear corner with probability equal to its weight — the expectation is
+    exactly bilinear, so the progressive accumulator converges to the
+    filtered result at a quarter of the gather cost (gathers are the scarce
+    resource on TPU). One extra dither of per-frame sky noise, well below
+    path-tracing variance.
+    """
     H, W = skybox.shape[0], skybox.shape[1]
     plane = pack_rgbe(skybox)
     y0, y1, x0, x1, wy, wx = _equirect_coords((H, W), rd)
+    if u1 is not None:
+        yn = jnp.where(u1 < wy, y1, y0)
+        xn = jnp.where(u2 < wx, x1, x0)
+        return _decode_rgbe(plane[yn * W + xn])
     if not bilinear:
         yn = jnp.where(wy > 0.5, y1, y0)
         xn = jnp.where(wx > 0.5, x1, x0)

@@ -210,8 +210,13 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
             ro = vec_ops.where(alive, ro, vec_ops.splat((1e7, 1e7, 1e7), ro[0]))
             rd = vec_ops.where(alive, rd, vec_ops.splat((0.0, 1.0, 0.0), rd[0]))
 
-    sky = sample_skybox_rgbe(scene.skybox, sky_d) if cfg.sky_rgbe \
-        else sample_skybox(scene.skybox, sky_d)
+    if cfg.sky_rgbe:
+        ks = jax.random.fold_in(k_bounce, cfg.bounces)
+        su1 = jax.random.uniform(jax.random.fold_in(ks, 0), (N,))
+        su2 = jax.random.uniform(jax.random.fold_in(ks, 1), (N,))
+        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2)
+    else:
+        sky = sample_skybox(scene.skybox, sky_d)
     radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
 
     if blocked:
