@@ -83,6 +83,36 @@ def main() -> None:
 
     assert np.isfinite(img).all(), "benchmark produced non-finite pixels"
 
+    # Fidelity gate: the flagship path must match the brute-force oracle on
+    # THIS scene (same key => same estimator decisions, so the only allowed
+    # difference is float op-order noise). Small res keeps the dense oracle
+    # tractable at 100k triangles; 192x96 still exercises the blocked tile
+    # path. Perf work cannot silently break rendering correctness.
+    from unityraytracer_tpu.utils.image import rmse
+
+    ccfg = cfg.replace(width=192, height=96, bounces=2, spp=1)
+    bcfg = ccfg.replace(tracer="brute", ray_chunk=1024)
+    ckey = jax.random.key(42)
+
+    @jax.jit
+    def check_frame(scene, camera, accel, key, _cfg=ccfg):
+        return render_sample(scene, get_tracer(scene, _cfg, accel), camera,
+                             key, _cfg)
+
+    @jax.jit
+    def oracle_frame(scene, camera, key, _cfg=bcfg):
+        return render_sample(scene, get_tracer(scene, _cfg, None), camera,
+                             key, _cfg)
+
+    cam_small = Camera.create(**dict(camera_kw, aspect=ccfg.width / ccfg.height))
+    img_fast = np.asarray(jax.device_get(
+        check_frame(scene, cam_small, accel, ckey)))
+    img_oracle = np.asarray(jax.device_get(
+        oracle_frame(scene, cam_small, ckey)))
+    oracle_rmse = float(rmse(img_fast, img_oracle))
+    assert oracle_rmse < 1e-3, (
+        f"flagship path diverged from the brute oracle: RMSE {oracle_rmse}")
+
     result = {
         "metric": (f"Mrays/s/chip @ {cfg.width}x{cfg.height}, "
                    f"{scene.num_triangles}-tri LBVH scene, {cfg.bounces} bounces "
@@ -93,6 +123,7 @@ def main() -> None:
         "ms_per_frame": round(ms_frame, 2),
         "accel_build_s": round(build_s, 2),
         "compile_s": round(compile_s, 2),
+        "oracle_rmse": round(oracle_rmse, 6),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,82 @@
+"""OpenEXR loader round-trip tests (reference skybox parity: the
+Assets/Skyboxes set is HDR/EXR; models/exr.py covers the .exr half)."""
+
+import numpy as np
+import pytest
+
+from unityraytracer_tpu.models.exr import load_exr, write_exr
+from unityraytracer_tpu.models.skybox import load_environment, save_hdr
+
+
+def _img(h=24, w=32, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    # HDR-ish content: bright sun values + dark regions + exact zeros.
+    img = (rng.uniform(0, 1, (h, w, c)).astype(np.float32) ** 3) * 90.0
+    img[0, 0] = 0.0
+    return img
+
+
+@pytest.mark.parametrize("compression", ["none", "zips", "zip"])
+def test_exr_float32_roundtrip_exact(tmp_path, compression):
+    img = _img()
+    path = str(tmp_path / f"rt_{compression}.exr")
+    write_exr(path, img, compression=compression, dtype="float")
+    out = load_exr(path)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("compression", ["none", "zip"])
+def test_exr_half_roundtrip(tmp_path, compression):
+    img = _img(seed=1)
+    path = str(tmp_path / f"rt_h_{compression}.exr")
+    write_exr(path, img, compression=compression, dtype="half")
+    out = load_exr(path)
+    np.testing.assert_array_equal(out, img.astype(np.float16).astype(np.float32))
+
+
+def test_exr_non_chunk_multiple_height(tmp_path):
+    # ZIP chunks are 16 scanlines; H=21 exercises the ragged final chunk.
+    img = _img(h=21, w=17)
+    path = str(tmp_path / "ragged.exr")
+    write_exr(path, img, compression="zip", dtype="float")
+    np.testing.assert_array_equal(load_exr(path), img)
+
+
+def test_exr_channel_order_rgba(tmp_path):
+    img = _img(c=4, seed=2)
+    path = str(tmp_path / "rgba.exr")
+    write_exr(path, img, compression="zip", dtype="float")
+    out = load_exr(path)
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(out, img)
+
+
+def test_exr_rejects_unknown_compression(tmp_path):
+    img = _img(h=8, w=8)
+    path = str(tmp_path / "piz.exr")
+    write_exr(path, img, compression="zip", dtype="float")
+    raw = bytearray(open(path, "rb").read())
+    idx = raw.index(b"compression\x00compression\x00")
+    # Attribute payload byte follows name, type, and int32 size.
+    off = idx + len(b"compression\x00compression\x00") + 4
+    raw[off] = 4  # PIZ
+    bad = str(tmp_path / "piz_bad.exr")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="PIZ"):
+        load_exr(bad)
+
+
+def test_load_environment_dispatches_hdr_and_exr(tmp_path):
+    img = _img(h=16, w=32)
+    p_exr = str(tmp_path / "env.exr")
+    write_exr(p_exr, img, compression="zip", dtype="float")
+    np.testing.assert_array_equal(load_environment(p_exr), img)
+
+    p_hdr = str(tmp_path / "env.hdr")
+    save_hdr(p_hdr, img)
+    out = load_environment(p_hdr)
+    assert out.shape == img.shape
+    # RGBE shares one exponent per texel: quantization step is up to
+    # max_channel/128 for EVERY channel of that texel.
+    step = img.max(-1, keepdims=True) / 128.0
+    assert (np.abs(out - img) <= step + 1e-4).all()

@@ -189,3 +189,94 @@ def test_hdr_rle_scanlines(tmp_path):
     back = load_hdr(str(path))
     rel = np.abs(back - img) / np.maximum(img, 1e-2)
     assert rel.max() < 0.05
+
+
+def test_load_mtl_mapping():
+    from unityraytracer_tpu.models.obj import load_mtl
+
+    mtl = load_mtl([
+        "newmtl red",
+        "Kd 0.8 0.1 0.1",
+        "Ks 0.2 0.2 0.2",
+        "Ke 1.0 2.0 3.0",
+        "Ns 1000",
+        "newmtl dull",
+        "Kd 0.3 0.3 0.3",
+        "Ns 1",
+    ])
+    assert set(mtl) == {"red", "dull"}
+    np.testing.assert_allclose(mtl["red"].albedo, (0.8, 0.1, 0.1))
+    np.testing.assert_allclose(mtl["red"].emission, (1.0, 2.0, 3.0))
+    # Ns=1000 -> alpha=1000 -> smoothness 1; Ns=1 -> smoothness 0
+    # (inverts alpha = 1000^(s^2), RayTraceShader.compute:401).
+    assert abs(mtl["red"].smoothness - 1.0) < 1e-6
+    assert mtl["dull"].smoothness == 0.0
+
+
+def test_load_obj_with_materials_groups_faces():
+    from unityraytracer_tpu.models.obj import load_obj_with_materials
+
+    obj = [
+        "mtllib x.mtl",
+        "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0",
+        "usemtl a",
+        "f 1 2 3",
+        "usemtl b",
+        "f 1 3 4",
+        "f 1 2 4",
+    ]
+    from unityraytracer_tpu.scene import Material
+
+    lib = {"a": Material(albedo=(1, 0, 0)), "b": Material(albedo=(0, 1, 0))}
+    verts, faces, normals, face_mat, mats = load_obj_with_materials(
+        obj, mtl_loader=lambda name: lib)
+    assert faces.shape == (3, 3)
+    np.testing.assert_array_equal(face_mat, [1, 2, 2])
+    np.testing.assert_allclose(mats[1].albedo, (1, 0, 0))
+    np.testing.assert_allclose(mats[2].albedo, (0, 1, 0))
+
+
+def test_add_obj_builds_scene_with_mtl(tmp_path):
+    from unityraytracer_tpu import SceneBuilder
+
+    mtl_path = tmp_path / "cube.mtl"
+    mtl_path.write_text(
+        "newmtl glow\nKd 0.1 0.2 0.3\nKe 4 5 6\nNs 31.62\n")
+    obj_path = tmp_path / "tri.obj"
+    obj_path.write_text(
+        "mtllib cube.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "usemtl glow\nf 1 2 3\n"
+        "usemtl missing\nf 1 3 4\n")
+    b = SceneBuilder()
+    b.add_obj(str(obj_path))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    assert scene.num_triangles == 2
+    # One triangle carries the .mtl emission, the unknown usemtl gets default.
+    emis = np.asarray(scene.materials.emission)[
+        np.asarray(scene.triangles.material_id)]
+    assert (np.isclose(emis, (4, 5, 6)).all(axis=1)).sum() == 1
+
+
+def test_export_normals_obj(tmp_path):
+    from unityraytracer_tpu import SceneBuilder
+    from unityraytracer_tpu.utils.debugviz import export_normals_obj
+
+    b = SceneBuilder()
+    v, f, n = P.icosphere(1)
+    b.add_mesh(v, f, normals=n)
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    path = str(tmp_path / "normals.obj")
+    export_normals_obj(scene.triangles, path, scale=0.5)
+    lines = open(path).read().strip().splitlines()
+    n_v = sum(1 for l in lines if l.startswith("v "))
+    n_l = sum(1 for l in lines if l.startswith("l "))
+    assert n_l == scene.num_triangles * 3  # one segment per corner (DrawNormals)
+    assert n_v == 2 * n_l
+    # Segment direction == stored normal for the first corner.
+    p = np.array([float(x) for x in lines[0].split()[1:]])
+    q = np.array([float(x) for x in lines[1].split()[1:]])
+    d = (q - p) / 0.5
+    np.testing.assert_allclose(d, np.asarray(scene.triangles.n0)[0], atol=1e-5)

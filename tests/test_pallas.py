@@ -134,6 +134,44 @@ def test_wavefront_parking_preserves_image():
     np.testing.assert_allclose(img_a, img_b, atol=1e-6)
 
 
+def test_alive_mask_preserves_live_rays_and_kills_dead_work():
+    # Dead rays are zero-seeded (every culling test fails -> no triangle
+    # work); live rays must be bit-identical to the unmasked trace.
+    ro, rd = _rays(2 * TILE, seed=11)
+    tracer = make_pallas_tracer(SCENE, ACCEL, CFG, interpret=True)
+    rng = np.random.default_rng(4)
+    alive = jnp.asarray(rng.uniform(size=2 * TILE) > 0.4)
+    h_all = tracer(ro, rd)
+    h_msk = tracer(ro, rd, alive)
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(h_all.t)[a],
+                                  np.asarray(h_msk.t)[a])
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(h_all.albedo[k])[a],
+                                      np.asarray(h_msk.albedo[k])[a])
+    # Dead rays never report a hit closer than their non-triangle candidate
+    # (zero seed culls all triangles; ground/sphere still resolve).
+    assert (np.asarray(h_msk.t)[~a] >= np.asarray(h_all.t)[~a] - 1e-6).all()
+
+
+def test_wavefront_parking_preserves_image_pallas():
+    # Same invariant as the cluster test, on the flagship kernel path:
+    # alive-mask seeding + parking must not change any radiance.
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=3, tracer="pallas",
+                       ray_chunk=1024)
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
+    tracer = get_tracer(SCENE, cfg, pa)
+    img_a = np.asarray(render_sample(SCENE, tracer, cam, jax.random.key(2),
+                                     cfg))
+    cfg_w = cfg.replace(wavefront=True)
+    tracer_w = get_tracer(SCENE, cfg_w, pa)
+    img_b = np.asarray(render_sample(SCENE, tracer_w, cam, jax.random.key(2),
+                                     cfg_w))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -141,3 +179,30 @@ def test_graft_entry_and_dryrun():
     jax.block_until_ready(out)
     assert np.isfinite(np.asarray(out.accum)).all()
     ge.dryrun_multichip(8)
+
+
+def test_pallas_accel_triangle_ceiling_error():
+    # The documented ~2M-triangle single-block limit must fail loudly at
+    # prep time (README "Limits"), not corrupt culling silently.
+    from unityraytracer_tpu.ops.pallas_trace import (MAX_PAGES, PAGE, KSIZE,
+                                                     prepare_pallas_accel)
+    from unityraytracer_tpu.scene import Triangles
+
+    class FakeAccel:
+        cluster_size = 64
+        triangles = None
+
+    too_many = MAX_PAGES * PAGE * KSIZE + 1
+    tr = Triangles(
+        v0=np.zeros((too_many, 3), np.float32),
+        v1=np.zeros((too_many, 3), np.float32),
+        v2=np.zeros((too_many, 3), np.float32),
+        n0=np.zeros((too_many, 3), np.float32),
+        n1=np.zeros((too_many, 3), np.float32),
+        n2=np.zeros((too_many, 3), np.float32),
+        material_id=np.zeros((too_many,), np.int32),
+    )
+    fa = FakeAccel()
+    fa.triangles = tr
+    with pytest.raises(ValueError, match="single-block page culling"):
+        prepare_pallas_accel(fa)

@@ -155,3 +155,45 @@ def test_stochastic_sky_tap_is_unbiased():
     acc /= K
     rel = np.abs(acc - exact) / np.maximum(np.abs(exact), 1e-2)
     assert rel.max() < 0.08  # MC error ~1/sqrt(400) of texel deltas
+
+
+def test_pack_rgbe_np_matches_jnp():
+    # The host-numpy packer (baked into Scene at build) must be bit-identical
+    # to the traced packer it replaces in the per-frame path.
+    from unityraytracer_tpu.ops.shade import pack_rgbe, pack_rgbe_np
+
+    rng = np.random.default_rng(0)
+    sky = (rng.uniform(0, 1, (16, 32, 3)).astype(np.float32) ** 2) * 40.0
+    sky[0, 0] = 0.0  # zero texel exercises the e == 0 branch
+    np.testing.assert_array_equal(np.asarray(pack_rgbe(jnp.asarray(sky))),
+                                  pack_rgbe_np(sky))
+
+
+def test_sample_skybox_rgbe_prepacked_plane_identical():
+    from unityraytracer_tpu.ops.shade import pack_rgbe_np, sample_skybox_rgbe
+
+    rng = np.random.default_rng(1)
+    sky = rng.uniform(0, 8, (8, 16, 3)).astype(np.float32)
+    rd = rng.normal(size=(64, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd3 = tuple(jnp.asarray(rd[:, k]) for k in range(3))
+    a = sample_skybox_rgbe(jnp.asarray(sky), rd3)
+    b = sample_skybox_rgbe(jnp.asarray(sky), rd3,
+                           packed=jnp.asarray(pack_rgbe_np(sky)))
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_scene_builder_bakes_rgbe_plane():
+    from unityraytracer_tpu import SceneBuilder
+    from unityraytracer_tpu.ops.shade import pack_rgbe_np
+
+    rng = np.random.default_rng(2)
+    sky = rng.uniform(0, 4, (4, 8, 3)).astype(np.float32)
+    b = SceneBuilder()
+    b.add_sphere((0, 1, 0), 1.0)
+    b.set_skybox(sky)
+    scene = b.build()
+    assert scene.skybox_rgbe is not None
+    np.testing.assert_array_equal(np.asarray(scene.skybox_rgbe),
+                                  pack_rgbe_np(sky))

@@ -31,9 +31,13 @@ class RenderConfig:
       ray_chunk: number of rays processed per tracer chunk (bounds peak memory
         of the (rays x primitives) brute-force product).
       cluster_size: triangles per LBVH leaf cluster (fast path granularity).
-      wavefront: if True, sort rays alive-first between bounces and skip
-        all-dead tiles (the TPU analog of the early-out at
-        `RayTraceShader.compute:457-460`).
+      wavefront: if True, park dead rays between bounces (origins relocated
+        far outside every acceleration structure) so the non-Pallas tracers
+        cull them naturally. The Pallas tracer skips dead rays regardless of
+        this flag: it zero-seeds their best-t so every page/cluster culling
+        test fails (the TPU analog of the early-out at
+        `RayTraceShader.compute:457-460`). No ray sorting happens — a
+        per-bounce coherence sort was measured out (see render.py).
     """
 
     width: int = 256

@@ -1,0 +1,213 @@
+"""Minimal OpenEXR (v2) scanline reader/writer.
+
+The reference's skybox set is "16 4K HDR/EXR equirect maps"
+(`/root/reference/Assets/Skyboxes/`, import settings in the .meta files);
+the .hdr half is handled by models/skybox.py, this module covers the .exr
+half: single-part scanline files with NONE / ZIPS / ZIP compression and
+HALF / FLOAT / UINT channels — the format every common HDRI tool emits.
+(PIZ/ PXR24 wavelet variants are rejected with a clear error; re-export as
+ZIP is the documented conversion path.)
+
+Implemented from the OpenEXR file-layout specification; no external deps
+(zlib only). The writer exists so round-trip tests don't need binary
+fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_MAGIC = 20000630
+_COMPRESSION_NONE = 0
+_COMPRESSION_RLE = 1
+_COMPRESSION_ZIPS = 2   # 1 scanline per chunk
+_COMPRESSION_ZIP = 3    # 16 scanlines per chunk
+_LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_ZIPS: 1,
+                    _COMPRESSION_ZIP: 16}
+_PIXEL_DTYPES = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
+_PIXEL_TYPES = {np.dtype("<u4"): 0, np.dtype("<f2"): 1, np.dtype("<f4"): 2}
+
+
+def _read_cstr(data: bytes, pos: int) -> Tuple[bytes, int]:
+    end = data.index(b"\x00", pos)
+    return data[pos:end], end + 1
+
+
+def _unpredict_deinterleave(raw: bytes) -> bytes:
+    """Undo EXR's ZIP post-deflate filter: delta-decode, then restore the
+    even/odd byte split (spec: 'reorder the pixel data' + 'predictor')."""
+    d = np.frombuffer(raw, np.uint8).astype(np.int64)
+    # Delta decode: first byte verbatim, then out[i] = out[i-1] + d[i] - 128.
+    arr = (d[0] + np.concatenate([[0], np.cumsum(d[1:] - 128)])
+           ).astype(np.uint8)
+    out = np.empty_like(arr)
+    half = (len(arr) + 1) // 2
+    out[0::2] = arr[:half]
+    out[1::2] = arr[half:]
+    return out.tobytes()
+
+
+def _interleave_predict(raw: bytes) -> bytes:
+    """EXR ZIP pre-deflate filter (inverse of :func:`_unpredict_deinterleave`)."""
+    arr = np.frombuffer(raw, np.uint8)
+    half = (len(arr) + 1) // 2
+    inter = np.empty_like(arr)
+    inter[:half] = arr[0::2]
+    inter[half:] = arr[1::2]
+    d = inter.astype(np.int32)
+    out = np.empty_like(d)
+    out[0] = d[0]
+    out[1:] = d[1:] - d[:-1] + 128
+    return (out & 0xFF).astype(np.uint8).tobytes()
+
+
+def load_exr(path: str) -> np.ndarray:
+    """Read a single-part scanline EXR into (H, W, C) float32.
+
+    Channels are returned in R, G, B(, A) order when those names exist,
+    otherwise in alphabetical (file) order. Raises ValueError with the
+    compression name for unsupported variants.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<ii", data, 0)
+    if magic != _MAGIC:
+        raise ValueError("not an EXR file")
+    if version & 0x200:
+        raise ValueError("multi-part EXR not supported")
+    if version & 0x800:
+        raise ValueError("deep-data EXR not supported")
+
+    pos = 8
+    attrs: Dict[str, Tuple[bytes, bytes]] = {}
+    while True:
+        name, pos = _read_cstr(data, pos)
+        if name == b"":
+            break
+        atype, pos = _read_cstr(data, pos)
+        size = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        attrs[name.decode()] = (atype, data[pos:pos + size])
+        pos += size
+
+    comp = attrs["compression"][1][0]
+    if comp not in _LINES_PER_CHUNK:
+        names = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
+                 5: "PXR24", 6: "B44", 7: "B44A"}
+        raise ValueError(
+            f"unsupported EXR compression {names.get(comp, comp)}; "
+            "re-export with ZIP (every HDRI tool can)")
+    xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
+    W, H = xmax - xmin + 1, ymax - ymin + 1
+
+    # Channel list: sorted by name in the file; each scanline stores channels
+    # in that order.
+    chans: List[Tuple[str, np.dtype]] = []
+    cdata = attrs["channels"][1]
+    cpos = 0
+    while cdata[cpos] != 0:
+        cname, cpos = _read_cstr(cdata, cpos)
+        ptype, _plin, _xs, _ys = struct.unpack_from("<iiii", cdata, cpos)
+        cpos += 16
+        chans.append((cname.decode(), _PIXEL_DTYPES[ptype]))
+    chans.sort(key=lambda c: c[0])
+
+    lines_per = _LINES_PER_CHUNK[comp]
+    n_chunks = (H + lines_per - 1) // lines_per
+    offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
+
+    planes = {name: np.zeros((H, W), np.float32) for name, _ in chans}
+    bytes_per_line = sum(dt.itemsize for _, dt in chans) * W
+    for off in offsets:
+        y, size = struct.unpack_from("<ii", data, off)
+        payload = data[off + 8:off + 8 + size]
+        row0 = y - ymin
+        n_lines = min(lines_per, H - row0)
+        if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
+            if size < n_lines * bytes_per_line:   # stored only if smaller
+                payload = _unpredict_deinterleave(zlib.decompress(payload))
+        lpos = 0
+        for li in range(n_lines):
+            for cname, dt in chans:
+                n = W * dt.itemsize
+                vals = np.frombuffer(payload, dt, count=W, offset=lpos)
+                planes[cname][row0 + li] = vals.astype(np.float32)
+                lpos += n
+
+    order = [n for n in ("R", "G", "B", "A") if n in planes]
+    order += [n for n, _ in chans if n not in order]
+    return np.stack([planes[n] for n in order], axis=-1)
+
+
+def write_exr(path: str, img: np.ndarray, compression: str = "zip",
+              dtype: str = "half") -> str:
+    """Write (H, W, C<=4) float data as a scanline EXR (round-trip testing
+    and export; channel names RGBA by position)."""
+    img = np.asarray(img)
+    H, W = img.shape[:2]
+    C = 1 if img.ndim == 2 else img.shape[2]
+    img = img.reshape(H, W, C)
+    dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
+    comp = {"none": _COMPRESSION_NONE, "zips": _COMPRESSION_ZIPS,
+            "zip": _COMPRESSION_ZIP}[compression]
+
+    names = ["R", "G", "B", "A"][:C]
+    order = sorted(range(C), key=lambda i: names[i])
+
+    def attr(name: str, atype: str, payload: bytes) -> bytes:
+        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+                + struct.pack("<i", len(payload)) + payload)
+
+    chl = b""
+    for i in order:
+        chl += (names[i].encode() + b"\x00"
+                + struct.pack("<iiii", _PIXEL_TYPES[dt], 0, 1, 1))
+    chl += b"\x00"
+    box = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+    header = (struct.pack("<ii", _MAGIC, 2)
+              + attr("channels", "chlist", chl)
+              + attr("compression", "compression", bytes([comp]))
+              + attr("dataWindow", "box2i", box)
+              + attr("displayWindow", "box2i", box)
+              + attr("lineOrder", "lineOrder", b"\x00")
+              + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+              + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+              + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+              + b"\x00")
+
+    lines_per = _LINES_PER_CHUNK[comp]
+    n_chunks = (H + lines_per - 1) // lines_per
+    chunks = []
+    for ci in range(n_chunks):
+        row0 = ci * lines_per
+        n_lines = min(lines_per, H - row0)
+        raw = b""
+        for li in range(n_lines):
+            for i in order:
+                raw += np.ascontiguousarray(
+                    img[row0 + li, :, i].astype(dt)).tobytes()
+        if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
+            packed = zlib.compress(_interleave_predict(raw))
+            if len(packed) >= len(raw):   # spec: keep raw if not smaller
+                packed = raw
+        else:
+            packed = raw
+        chunks.append((row0, packed))
+
+    offset_table_pos = len(header)
+    data_start = offset_table_pos + 8 * n_chunks
+    offsets = []
+    body = b""
+    for row0, packed in chunks:
+        offsets.append(data_start + len(body))
+        body += struct.pack("<ii", row0, len(packed)) + packed
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        f.write(body)
+    return path

@@ -87,6 +87,109 @@ def load_obj(path_or_lines) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray
     return verts, faces, normals
 
 
+def load_mtl(path_or_lines) -> dict:
+    """Parse a Wavefront .mtl library into {name: Material}.
+
+    Mapping onto the reference's RayTraceParams (RayTraceMaster.cs:48-53):
+    Kd -> albedo, Ks -> specular, Ke -> emission, and Ns (Phong shininess,
+    0..1000) inverted through the reference's lobe model alpha = 1000^(s^2)
+    (RayTraceShader.compute:401) -> smoothness = sqrt(log_1000(Ns)).
+    """
+    from ..scene import Material
+
+    if isinstance(path_or_lines, str):
+        with open(path_or_lines, "r") as f:
+            lines = f.readlines()
+    else:
+        lines = list(path_or_lines)
+
+    mats = {}
+    cur = None
+
+    def f3(parts):
+        return tuple(float(x) for x in parts[:3])
+
+    for line in lines:
+        parts = line.strip().split()
+        if not parts or parts[0].startswith("#"):
+            continue
+        tag = parts[0]
+        if tag == "newmtl":
+            cur = dict(albedo=(0.8, 0.8, 0.8), specular=(0.0, 0.0, 0.0),
+                       emission=(0.0, 0.0, 0.0), smoothness=0.0)
+            mats[parts[1]] = cur
+        elif cur is None:
+            continue
+        elif tag == "Kd":
+            cur["albedo"] = f3(parts[1:])
+        elif tag == "Ks":
+            cur["specular"] = f3(parts[1:])
+        elif tag == "Ke":
+            cur["emission"] = f3(parts[1:])
+        elif tag == "Ns":
+            ns = max(float(parts[1]), 1.0)
+            cur["smoothness"] = float(
+                np.clip(np.sqrt(np.log(ns) / np.log(1000.0)), 0.0, 1.0))
+    return {name: Material(**kw) for name, kw in mats.items()}
+
+
+def load_obj_with_materials(path_or_lines, mtl_loader=None):
+    """Parse an OBJ with mtllib/usemtl records.
+
+    Returns (vertices, faces, normals, face_material_ids, materials):
+    ``face_material_ids`` is (F,) int32 into ``materials`` (a list of
+    Material; index 0 is the default for faces before any usemtl).
+    ``mtl_loader`` overrides .mtl resolution (for tests); default resolves
+    mtllib paths relative to the OBJ file.
+    """
+    import os
+
+    from ..scene import Material
+
+    if isinstance(path_or_lines, str):
+        base = os.path.dirname(os.path.abspath(path_or_lines))
+        with open(path_or_lines, "r") as f:
+            lines = f.readlines()
+    else:
+        base = "."
+        lines = list(path_or_lines)
+
+    if mtl_loader is None:
+        def mtl_loader(name):
+            p = os.path.join(base, name)
+            return load_mtl(p) if os.path.exists(p) else {}
+
+    mat_table = {None: 0}
+    materials = [Material()]
+    lib = {}
+    cur_id = 0
+    face_mat = []
+    body = []
+    for line in lines:
+        parts = line.strip().split()
+        if not parts:
+            body.append(line)
+            continue
+        if parts[0] == "mtllib":
+            lib.update(mtl_loader(" ".join(parts[1:])))
+        elif parts[0] == "usemtl":
+            name = parts[1] if len(parts) > 1 else None
+            if name not in mat_table:
+                mat_table[name] = len(materials)
+                materials.append(lib.get(name, Material()))
+            cur_id = mat_table[name]
+        elif parts[0] == "f":
+            n_corners = len(parts) - 1
+            face_mat.extend([cur_id] * max(n_corners - 2, 0))  # fan tris
+            body.append(line)
+        else:
+            body.append(line)
+
+    verts, faces, normals = load_obj(body)
+    return (verts, faces, normals,
+            np.asarray(face_mat, np.int32), materials)
+
+
 def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
              normals: Optional[np.ndarray] = None) -> str:
     """Write a minimal OBJ (debug/export utility)."""

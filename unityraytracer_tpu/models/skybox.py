@@ -68,6 +68,20 @@ def load_hdr(path: str) -> np.ndarray:
     return rgbe_to_float(rgbe)
 
 
+def load_environment(path: str) -> np.ndarray:
+    """Load an equirect environment map by extension (.hdr or .exr) —
+    covering the reference's full skybox set (`Assets/Skyboxes/*`, 16 4K
+    HDR/EXR panoramas)."""
+    lower = path.lower()
+    if lower.endswith(".exr"):
+        from .exr import load_exr
+
+        return load_exr(path)
+    if lower.endswith(".hdr"):
+        return load_hdr(path)
+    raise ValueError(f"unsupported environment format: {path}")
+
+
 def rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
     """(..., 4) uint8 RGBE -> (..., 3) float32 linear."""
     rgbe = np.asarray(rgbe, np.uint8)

@@ -75,6 +75,22 @@ MAX_PAGES = 128     # single page-level block => up to 128*128*128 = 2M tris
 
 NCHAN = 24          # packed per-triangle attribute rows (19 used, 8-aligned)
 
+# Triangle-test numeric backend. The TPU MXU truncates f32 operands to bf16
+# at DEFAULT precision, which moved 1.3% of primary-hit t values by >1e-3
+# relative (up to 73%) on the bench scene — caught by bench.py's oracle-RMSE
+# gate. Exactness is recovered per quantity at measured cost:
+#   "vpu"          — plane (t) AND edge tests as exact-f32 VPU outer-product
+#                    FMAs from per-triangle constant columns; no geometry
+#                    MXU work at all.
+#   "hybrid"       — exact VPU plane (t drives winner selection, hit
+#                    positions and bounce origins, so it must be f32); edge
+#                    tests stay one-pass MXU bf16 (sign decisions only flip
+#                    within ~0.4% of an edge — silhouette-class noise).
+#   "mxu_highest"  — everything on the MXU at 6-pass f32 emulation
+#                    (measured +53% frame time on v5e).
+#   "mxu_high"     — 3-pass; ~1e-6 relative.
+GEOM_MODE = "vpu"
+
 _F32_MAX = 3.0e38
 _PAD_BOX = 1.0e30   # far-away point box for padded clusters/pages
 
@@ -132,6 +148,7 @@ def _for_set_bits(word, fn):
 
 def _trace_kernel(n_pages: int,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
+                  seed_ref,
                   pgb_ref,
                   cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref,
@@ -143,7 +160,18 @@ def _trace_kernel(n_pages: int,
     # v5e): the winner `pick` matrix is one-hot per ray column, so one MXU
     # matmul of the cluster's packed (NCHAN, 128-triangle) attribute block
     # against pick selects every winner's attributes at once.
-    out_t_ref[:] = jnp.full((ROWS, TILE), _F32_MAX, jnp.float32)
+    #
+    # seed_ref carries each ray's best NON-triangle hit distance (ground /
+    # sphere candidates, computed cheaply in XLA before the kernel): best-t
+    # starts there instead of F32_MAX, so page- AND cluster-level culling
+    # immediately discard every box behind the ground plane — most downward
+    # bounce rays skip all triangle work. Dead rays arrive with seed 0, which
+    # fails every `tmin < best_t` test: a fully-dead tile runs only the page
+    # slab test (the TPU form of wavefront ray-queue compaction, replacing the
+    # reference's per-thread early-out at compute:457-460). A triangle wins
+    # only by strictly beating its ray's seed; the caller maps "t == seed"
+    # back to a triangle miss.
+    out_t_ref[:] = seed_ref[:]
     for oc in out_chans:
         oc[:] = jnp.zeros((ROWS, TILE), jnp.float32)
 
@@ -194,18 +222,55 @@ def _trace_kernel(n_pages: int,
             """
             eblk = epl_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, 3K)
             pblk = epn_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, K)
-            e_all = jax.lax.dot_general(
-                eblk, P8, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (3K, rays)
-            e01 = e_all[0:KSIZE, :]
-            e12 = e_all[KSIZE:2 * KSIZE, :]
-            e20 = e_all[2 * KSIZE:3 * KSIZE, :]
-            t_num = jax.lax.dot_general(
-                pblk, O4, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (K, rays)
-            t_den = jax.lax.dot_general(
-                pblk, D4, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+
+            def row_col(blk, r, lane0=0, width=KSIZE):
+                # (1, width) row slice of a VMEM block -> (width, 1) column
+                # (the only Mosaic-supported in-kernel transpose shape).
+                return _col(blk[r:r + 1, lane0:lane0 + width])
+
+            if GEOM_MODE in ("vpu", "hybrid"):
+                # Exact f32 plane: t_num = -(n.o + dp), t_den = n.d as
+                # broadcast outer products of per-triangle constant columns
+                # against per-ray rows — no MXU rounding on the quantity
+                # that drives winner selection and hit positions.
+                nx, ny, nz = (row_col(pblk, r) for r in range(3))
+                dpc = row_col(pblk, 3)
+                t_num = -(nx * rox + ny * roy + nz * roz + dpc)  # (K, rays)
+                t_den = nx * rdx + ny * rdy + nz * rdz
+            else:
+                prec = (jax.lax.Precision.HIGHEST
+                        if GEOM_MODE == "mxu_highest"
+                        else jax.lax.Precision.HIGH)
+                t_num = jax.lax.dot_general(
+                    pblk, O4, (((0,), (0,)), ((), ())), precision=prec,
+                    preferred_element_type=jnp.float32)          # (K, rays)
+                t_den = jax.lax.dot_general(
+                    pblk, D4, (((0,), (0,)), ((), ())), precision=prec,
+                    preferred_element_type=jnp.float32)
+
+            if GEOM_MODE == "vpu":
+                # Exact f32 edge tests: e = mom.d + dir.(o x d) per edge.
+                m_rows = (mx, my, mz)
+                d_rows = (rdx, rdy, rdz)
+                es = []
+                for k in range(3):
+                    e = jnp.zeros((KSIZE, TILE), jnp.float32)
+                    for ax in range(3):
+                        e += row_col(eblk, ax, k * KSIZE) * d_rows[ax]
+                        e += row_col(eblk, 3 + ax, k * KSIZE) * m_rows[ax]
+                    es.append(e)
+                e01, e12, e20 = es
+            else:
+                prec = (jax.lax.Precision.DEFAULT if GEOM_MODE == "hybrid"
+                        else jax.lax.Precision.HIGHEST
+                        if GEOM_MODE == "mxu_highest"
+                        else jax.lax.Precision.HIGH)
+                e_all = jax.lax.dot_general(
+                    eblk, P8, (((0,), (0,)), ((), ())), precision=prec,
+                    preferred_element_type=jnp.float32)          # (3K, rays)
+                e01 = e_all[0:KSIZE, :]
+                e12 = e_all[KSIZE:2 * KSIZE, :]
+                e20 = e_all[2 * KSIZE:3 * KSIZE, :]
             front = t_den <= -1e-8               # == MT97 det >= 1e-8
             t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
             ok = (front & (e01 <= 0.0) & (e12 <= 0.0) & (e20 <= 0.0)
@@ -232,7 +297,10 @@ def _trace_kernel(n_pages: int,
             def _():
                 pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
                 chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8), NCHAN), :]
+                # HIGHEST: default MXU precision would truncate the selected
+                # normals/materials to bf16 (pick itself is exact 0/1).
                 sel = jnp.dot(chan, pick,
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)  # (NCHAN, rays)
                 # Exact t and barycentrics of the winner (removes the key
                 # truncation): one masked reduce each. Barycentrics from the
@@ -279,13 +347,14 @@ def _trace_kernel(n_pages: int,
                     words[w],
                     lambda dc, w=w: cluster_pass(g * PAGE + w * 32 + dc))
 
-        # Page-level culling: one (pages, rays) block over all page AABBs.
+        # Page-level culling: one (pages, rays) block over all page AABBs,
+        # pruned by the seeded best-t (ground/sphere hits and dead rays
+        # eliminate pages before any cluster work happens).
         pg_bmin = tuple(_col(pgb_ref[a, :].reshape(1, MAX_PAGES))
                         for a in range(3))
         pg_bmax = tuple(_col(pgb_ref[3 + a, :].reshape(1, MAX_PAGES))
                         for a in range(3))
-        pg_hit = _outer_aabb(ro, inv, pg_bmin, pg_bmax,
-                             jnp.full((1, TILE), _F32_MAX, jnp.float32))
+        pg_hit = _outer_aabb(ro, inv, pg_bmin, pg_bmax, best_t())
         pg_flags = jnp.any(pg_hit, axis=1, keepdims=True)
         pg_words = _pack_flags_col(pg_flags, sub_col)
         for w in range(4):
@@ -435,11 +504,14 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
 
 
-def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
+def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool):
     """Run the kernel over all rays. ro/rd: Vec3 of (N,), N % BLOCK == 0.
 
+    ``seed``: (N,) best-t upper bound per ray (non-triangle candidate hit
+    distance; 0 for dead rays, <= _F32_MAX always).
+
     Returns 14 (N,) arrays: t, nx, ny, nz, albedo rgb, specular rgb,
-    emission rgb, smoothness.
+    emission rgb, smoothness. t stays == seed where no triangle beat it.
     """
     pgb, cl_cols, n_pages = pa.pgb, pa.cl_cols, pa.n_pages
     N = ro[0].shape[0]
@@ -451,7 +523,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
         return a.reshape(n_rows, TILE)
 
     ray_in = [comp(ro[0]), comp(ro[1]), comp(ro[2]),
-              comp(rd[0]), comp(rd[1]), comp(rd[2])]
+              comp(rd[0]), comp(rd[1]), comp(rd[2]), comp(seed)]
 
     blk_spec = pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -467,7 +539,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[blk_spec] * 6 + [full()] * (1 + 6 + 3),
+        in_specs=[blk_spec] * 7 + [full()] * (1 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
         compiler_params=None if interpret else params,
@@ -477,25 +549,37 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, interpret: bool):
     return tuple(o.reshape(N) for o in outs)
 
 
-def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool):
+def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool,
+                               seed=None):
     """Full-material triangle candidate via the Pallas kernel (zero gathers).
 
-    ro/rd are component-SoA Vec3 tuples of (N,).
+    ro/rd are component-SoA Vec3 tuples of (N,). ``seed`` is an optional (N,)
+    best-t bound (nearest non-triangle candidate; 0 marks dead rays) — the
+    kernel culls against it, and a triangle only counts as a hit where it came
+    back strictly closer than the seed.
     """
     N = ro[0].shape[0]
+    if seed is None:
+        seed = jnp.full((N,), _F32_MAX, jnp.float32)
+    else:
+        seed = jnp.minimum(seed, _F32_MAX)  # INF -> representable sentinel
     pad = (-N) % BLOCK
     if pad:
         zpad = jnp.zeros((pad,), ro[0].dtype)
         ro = tuple(jnp.concatenate([c, zpad]) for c in ro)
-        # Padded rays point straight down; results are discarded below.
+        # Padded rays point straight down and carry seed 0: every culling
+        # test fails, so padding costs no triangle work at all.
         rd = (jnp.concatenate([rd[0], zpad]),
               jnp.concatenate([rd[1], zpad - 1.0]),
               jnp.concatenate([rd[2], zpad]))
+        seed_p = jnp.concatenate([seed, zpad])
+    else:
+        seed_p = seed
 
-    outs = _pallas_triangle_trace(pa, ro, rd, interpret)
+    outs = _pallas_triangle_trace(pa, ro, rd, seed_p, interpret)
     outs = tuple(o[:N] for o in outs)
-    t = outs[0]
-    t = jnp.where(t >= _F32_MAX * 0.5, INF, t)
+    # out t == seed means "nothing beat the non-triangle candidate": a miss.
+    t = jnp.where(outs[0] < seed, outs[0], INF)
     return dict(t=t, normal=outs[1:4], albedo=outs[4:7],
                 specular=outs[7:10], emission=outs[10:13],
                 smoothness=outs[13])
@@ -518,12 +602,20 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
     if accel is not None:
         accel = jax.tree_util.tree_map(jnp.asarray, accel)
 
-    def tracer(ro, rd) -> Hit:
-        """ro/rd: Vec3 tuples of (N,)."""
+    def tracer(ro, rd, alive=None) -> Hit:
+        """ro/rd: Vec3 tuples of (N,); ``alive`` is an optional (N,) bool
+        mask — dead rays are zero-seeded so the kernel skips all of their
+        culling and triangle work (tile-granular wavefront compaction)."""
         cands = [_ground_candidate(scene, ro, rd),
                  _sphere_candidate(scene, ro, rd)]
         if has_tris:
-            cands.append(_triangle_pallas_candidate(accel, ro, rd, interpret))
+            # Seed the kernel's best-t with the nearest non-triangle hit:
+            # page/cluster culling then discards everything behind it.
+            seed = jnp.minimum(cands[0]["t"], cands[1]["t"])
+            if alive is not None:
+                seed = jnp.where(alive, seed, 0.0)
+            cands.append(_triangle_pallas_candidate(accel, ro, rd, interpret,
+                                                    seed))
         return combine_candidates(scene, ro, rd, cands)
 
     return tracer

@@ -101,6 +101,26 @@ def pack_rgbe(skybox):
     return word.reshape(-1)
 
 
+def pack_rgbe_np(skybox):
+    """Host-numpy twin of :func:`pack_rgbe` for scene-build time.
+
+    The packed plane is baked into the Scene pytree ONCE at build (and
+    device_put with the rest of the scene) so the per-frame jitted step never
+    re-packs the environment map — for a 4K HDRI that is ~8M texels of
+    redundant VPU work per frame otherwise.
+    """
+    import numpy as _np
+
+    skybox = _np.asarray(skybox, _np.float32)
+    m = skybox.max(axis=-1)
+    exp = _np.ceil(_np.log2(_np.maximum(m, 1e-30))).astype(_np.int32) + 1
+    scale = _np.exp2(8.0 - exp.astype(_np.float32))
+    rgb = _np.clip(skybox * scale[..., None], 0, 255).astype(_np.uint32)
+    e = _np.where(m > 1e-30, exp + 128, 0).astype(_np.uint32)
+    word = ((e << 24) | (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2])
+    return word.reshape(-1)
+
+
 def _decode_rgbe(word) -> Vec3:
     e = (word >> 24).astype(jnp.int32)
     scale = jnp.where(e > 0, jnp.exp2(e.astype(jnp.float32) - 136.0), 0.0)
@@ -126,7 +146,7 @@ def _equirect_coords(skybox_hw, rd: Vec3):
 
 
 def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True,
-                       u1=None, u2=None) -> Vec3:
+                       u1=None, u2=None, packed=None) -> Vec3:
     """Equirect lookup through a packed RGBE plane (4 gathers bilinear,
     1 gather nearest/stochastic). Same mapping as sample_skybox.
 
@@ -136,9 +156,12 @@ def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True,
     filtered result at a quarter of the gather cost (gathers are the scarce
     resource on TPU). One extra dither of per-frame sky noise, well below
     path-tracing variance.
+
+    ``packed``: optional prepacked (H*W,) uint32 RGBE plane (SceneBuilder
+    bakes one at build so jitted frames skip the per-frame repack).
     """
     H, W = skybox.shape[0], skybox.shape[1]
-    plane = pack_rgbe(skybox)
+    plane = pack_rgbe(skybox) if packed is None else packed
     y0, y1, x0, x1, wy, wx = _equirect_coords((H, W), rd)
     if u1 is not None:
         yn = jnp.where(u1 < wy, y1, y0)

@@ -80,11 +80,17 @@ def _ground_candidate(scene: Scene, ro: Vec3, rd: Vec3):
 
 
 def _sphere_candidate(scene: Scene, ro: Vec3, rd: Vec3):
-    """Closest sphere hit with one-hot material/center resolution.
+    """Closest sphere hit with one-hot MATMUL attribute resolution.
 
-    Per-ray gathers run serially on TPU (~22 ns/element), so for the small
-    sphere counts the reference exercises (<= 8 in Scene1) a one-hot
-    select-accumulate over spheres is far cheaper than 13 gathers.
+    Per-ray gathers run serially on TPU (~22 ns/element = 46 ms per 2M-ray
+    gather), so the winner's center/material are resolved gather-free: the
+    (R, S) one-hot winner matrix contracted against each per-sphere attribute
+    column selects every ray's values in one fused matvec. The graph is O(1)
+    in sphere count (the reference needs a sphere BVH for this,
+    RayTraceShader.compute:329-361; dense + matmul is the TPU-shaped
+    equivalent — S spheres cost S FLOPs/ray on full-width vector units, and
+    at Scene1's S=8 the whole candidate is noise next to the triangle pass).
+    Property-tested against per-sphere reference resolution at S=512.
     """
     sp = scene.spheres
     S = sp.count
@@ -93,31 +99,27 @@ def _sphere_candidate(scene: Scene, ro: Vec3, rd: Vec3):
     ts = intersect_spheres(ro, rd, sp.center, sp.radius)  # (R, S)
     t = jnp.min(ts, axis=1)
     best = jnp.argmin(ts, axis=1)
+    onehot = (best[:, None] == jnp.arange(S)[None, :]).astype(t.dtype)  # (R,S)
 
     mats = scene.materials
-    acc = {k: (jnp.zeros_like(t),) * 3 for k in ("center", "albedo",
-                                                 "specular", "emission")}
-    smooth = jnp.zeros_like(t)
-    for s_i in range(S):
-        m = (best == s_i).astype(t.dtype)
-        mid = sp.material_id[s_i]
-
-        def add3(cur, tab_row):
-            return tuple(c + m * tab_row[k] for k, c in enumerate(cur))
-
-        mrow = lambda tab: jax.lax.dynamic_slice_in_dim(
-            tab, mid, 1, axis=0)[0]
-        acc["center"] = add3(acc["center"], sp.center[s_i])
-        acc["albedo"] = add3(acc["albedo"], mrow(mats.albedo))
-        acc["specular"] = add3(acc["specular"], mrow(mats.specular))
-        acc["emission"] = add3(acc["emission"], mrow(mats.emission))
-        smooth = smooth + m * jax.lax.dynamic_slice_in_dim(
-            mats.smoothness, mid, 1)[0]
+    mid = sp.material_id
+    # Per-sphere attribute columns ((S,) each; the material rows are one
+    # S-sized gather per trace — O(S), not O(rays)).
+    cols = dict(
+        center=tuple(sp.center[:, k] for k in range(3)),
+        albedo=tuple(mats.albedo[mid, k] for k in range(3)),
+        specular=tuple(mats.specular[mid, k] for k in range(3)),
+        emission=tuple(mats.emission[mid, k] for k in range(3)),
+    )
+    pick = lambda col: jnp.dot(onehot, col,
+                               preferred_element_type=t.dtype)  # (R,)
+    sel = {k: tuple(pick(c) for c in v) for k, v in cols.items()}
+    smooth = pick(mats.smoothness[mid])
 
     pos = vec.add(ro, vec.scale(rd, t))
-    n = vec.normalize(vec.sub(pos, acc["center"]))
-    return dict(t=t, normal=n, albedo=acc["albedo"],
-                specular=acc["specular"], emission=acc["emission"],
+    n = vec.normalize(vec.sub(pos, sel["center"]))
+    return dict(t=t, normal=n, albedo=sel["albedo"],
+                specular=sel["specular"], emission=sel["emission"],
                 smoothness=smooth)
 
 
@@ -173,8 +175,14 @@ def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
                emission=best["emission"], smoothness=best["smoothness"])
 
 
-def trace_brute(scene: Scene, ro: Vec3, rd: Vec3, chunk: int = 8192) -> Hit:
-    """Exhaustive closest-hit over ground + spheres + triangles."""
+def trace_brute(scene: Scene, ro: Vec3, rd: Vec3, alive=None,
+                chunk: int = 8192) -> Hit:
+    """Exhaustive closest-hit over ground + spheres + triangles.
+
+    ``alive`` is accepted for tracer-interface parity (the Pallas tracer uses
+    it for dead-ray work skipping); the dense oracle ignores it.
+    """
+    del alive
 
     def body(rox, roy, roz, rdx, rdy, rdz):
         ro_c = (rox, roy, roz)

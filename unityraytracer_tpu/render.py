@@ -64,45 +64,6 @@ def get_tracer(scene: Scene, cfg: RenderConfig, accel=None) -> Callable:
     raise ValueError(f"unknown tracer {cfg.tracer!r}")
 
 
-def _morton5(c):
-    """Interleave the low 5 bits of an int array into every 3rd bit slot."""
-    c = c & 0x1F
-    c = (c | (c << 8)) & 0x100F
-    c = (c | (c << 4)) & 0x10C3
-    c = (c | (c << 2)) & 0x1249
-    return c
-
-
-def _ray_sort_key(scene: Scene, ro, rd, alive):
-    """Coherence key: Morton cell of origin (15 bits) + direction octant.
-
-    Bounce rays scatter: after one diffuse bounce, adjacent pixels' rays share
-    no geometry, and the Pallas tracer's per-tile culling degrades ~85x
-    (measured: 35 ms coherent vs 2.9 s incoherent for 2M rays on v5e).
-    Sorting rays each bounce by (origin cell, direction octant) restores tile
-    coherence; dead (parked) rays get the max key, compacting them into
-    all-dead tiles that the tracer skips entirely — the TPU version of
-    wavefront ray-queue compaction (SURVEY.md 2.4).
-    """
-    tr = scene.triangles
-    if tr.count:
-        lo = (tr.v0[:, 0].min(), tr.v0[:, 1].min(), tr.v0[:, 2].min())
-        hi = (tr.v0[:, 0].max(), tr.v0[:, 1].max(), tr.v0[:, 2].max())
-    else:
-        sp = scene.spheres
-        lo = (sp.center[:, 0].min(), sp.center[:, 1].min(), sp.center[:, 2].min())
-        hi = (sp.center[:, 0].max(), sp.center[:, 1].max(), sp.center[:, 2].max())
-    key = jnp.zeros_like(ro[0], dtype=jnp.int32)
-    oct_bits = jnp.zeros_like(key)
-    for a in range(3):
-        ext = jnp.maximum(hi[a] - lo[a], 1e-6)
-        cell = jnp.clip(((ro[a] - lo[a]) / ext * 32.0).astype(jnp.int32), 0, 31)
-        key = key | (_morton5(cell) << (2 - a))
-        oct_bits = oct_bits | ((rd[a] > 0).astype(jnp.int32) << a)
-    key = (key << 3) | oct_bits
-    return jnp.where(alive, key, jnp.int32(1 << 30))
-
-
 def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
                   cfg: RenderConfig, row0: int = 0,
                   rows: Optional[int] = None) -> jnp.ndarray:
@@ -153,6 +114,17 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
 
         ro = tuple(to_blocks(c.reshape(spp, h, W)) for c in ro)
         rd = tuple(to_blocks(c.reshape(spp, h, W)) for c in rd)
+    else:
+        def to_blocks(a):
+            return a
+
+    def uniform(key_, shape=(N,)):
+        # Every per-ray uniform is drawn in PIXEL order and permuted with the
+        # rays: the estimator is then IDENTICAL across tracers and blocking
+        # modes (pixel p consumes the same random stream everywhere), so
+        # golden tests compare the Pallas path against the brute oracle at
+        # float precision instead of Monte-Carlo noise.
+        return to_blocks(jax.random.uniform(key_, shape))
 
     one = jnp.ones((N,), jnp.float32)
     zero = jnp.zeros((N,), jnp.float32)
@@ -166,21 +138,20 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     sky_d = (zero.copy(), one.copy(), zero.copy())
 
     # Bounce loop (compute:453-461). Static trip count; dead lanes carry zero
-    # energy. With cfg.wavefront, dead rays are "parked" far outside every
-    # acceleration-structure box pointing away from the scene, so the Pallas
-    # tracer's tile-level culling skips all geometry work for ray tiles that
-    # died together — the static-shape TPU form of the reference's per-thread
-    # early-out (compute:457-460).
-    # NOTE: a per-bounce coherence sort (Morton key over origins) was tried
-    # here and removed: applying the permutation costs 23 per-ray gathers per
-    # bounce at ~46 ms each on v5e — more than the kernel time it saves.
-    # Wavefront mode therefore only PARKS dead rays (below); tile coherence
-    # for live secondary rays is future work (multi-payload lax.sort).
+    # energy. The ``alive`` mask is handed to the tracer every bounce: the
+    # Pallas tracer zero-seeds dead rays' best-t so every culling test fails —
+    # dead rays do no triangle work at any granularity, and fully-dead tiles
+    # run only one slab test. This is the static-shape TPU form of wavefront
+    # ray-queue compaction (the reference's per-thread early-out,
+    # compute:457-460). An explicit per-bounce coherence SORT (Morton key
+    # over origins) was tried and removed: applying the permutation costs 23
+    # per-ray gathers per bounce at ~46 ms each on v5e — more than the kernel
+    # time it saves.
     alive = jnp.ones((N,), bool)
     for b in range(cfg.bounces):
-        hit = tracer(ro, rd)
+        hit = tracer(ro, rd, alive)
         kb = jax.random.fold_in(k_bounce, b)
-        uniforms = tuple(jax.random.uniform(jax.random.fold_in(kb, i), (N,))
+        uniforms = tuple(uniform(jax.random.fold_in(kb, i))
                          for i in range(3))
         energy_before = energy
         ro, rd_new, energy, contrib, missed = shade(ro, rd, energy, hit,
@@ -199,7 +170,7 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
             # that directly into skipped kernel tiles. (The reference never
             # terminates by throughput: its lobe chances are normalized to
             # sum to 1, compute:392-394 — rays only die by missing.)
-            u_rr = jax.random.uniform(jax.random.fold_in(kb, 3), (N,))
+            u_rr = uniform(jax.random.fold_in(kb, 3))
             p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0], energy[1]),
                                           energy[2]), 0.05, 1.0)
             keep = u_rr < p_surv
@@ -207,14 +178,20 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
             energy = vec_ops.scale(energy, boost)
             alive = alive & keep
         if cfg.wavefront and b + 1 < cfg.bounces:
+            # Park dead rays far outside every acceleration structure pointing
+            # away from the scene — the non-Pallas tracers (cluster sweep /
+            # stack BVH) then cull them naturally. The Pallas tracer already
+            # skips dead rays via the alive mask above; parking is harmless
+            # there (the zero seed dominates).
             ro = vec_ops.where(alive, ro, vec_ops.splat((1e7, 1e7, 1e7), ro[0]))
             rd = vec_ops.where(alive, rd, vec_ops.splat((0.0, 1.0, 0.0), rd[0]))
 
     if cfg.sky_rgbe:
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
-        su1 = jax.random.uniform(jax.random.fold_in(ks, 0), (N,))
-        su2 = jax.random.uniform(jax.random.fold_in(ks, 1), (N,))
-        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2)
+        su1 = uniform(jax.random.fold_in(ks, 0))
+        su2 = uniform(jax.random.fold_in(ks, 1))
+        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
+                                 packed=scene.skybox_rgbe)
     else:
         sky = sample_skybox(scene.skybox, sky_d)
     radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
@@ -316,6 +293,30 @@ class Renderer:
                           ms_per_frame=dt / n_frames * 1000.0,
                           mrays_per_sec=rays / dt / 1e6)
         return self
+
+    def profile(self, n_frames: int = 1):
+        """Per-stage DEVICE-time breakdown of the frame step.
+
+        Runs ``n_frames`` compiled steps under ``jax.profiler`` and parses the
+        device timeline (wall clock cannot attribute device work through the
+        axon tunnel — see utils/profiling.py). The result lands in
+        ``self.stats["device"]`` and is returned; ``per_occurrence_ms`` of the
+        trace kernel is the per-bounce breakdown. This is the observability
+        the reference lacks entirely (its only logging:
+        RayTraceDebug.cs:25-36).
+        """
+        from .utils.profiling import profile_stages
+
+        def run():
+            for _ in range(n_frames):
+                self._key, sub = jax.random.split(self._key)
+                self.state = self._compiled(self.state, self.scene,
+                                            self.camera, self.accel, sub)
+            return self.state
+
+        prof = profile_stages(run)
+        self.stats["device"] = prof
+        return prof
 
     @property
     def image(self) -> np.ndarray:

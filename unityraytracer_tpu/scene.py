@@ -132,6 +132,10 @@ class Scene:
                                   # RayTraceShader.compute:156-172)
     ground_material_id: jnp.ndarray  # () int32
     skybox: jnp.ndarray       # (Hs, Ws, 3) float32 equirect, row 0 = +y pole
+    # Shared-exponent RGBE packing of ``skybox``, baked once at build so the
+    # per-frame jitted step never re-packs the environment (ops/shade.py
+    # pack_rgbe_np); None when a Scene is assembled by hand.
+    skybox_rgbe: Optional[jnp.ndarray] = None  # (Hs*Ws,) uint32
 
     @property
     def num_spheres(self) -> int:
@@ -252,6 +256,29 @@ class SceneBuilder:
         self.dirty = True
         return self
 
+    def add_obj(self, path, transform: Optional[np.ndarray] = None,
+                material: Optional[Material] = None) -> "SceneBuilder":
+        """Register a Wavefront OBJ, honoring its .mtl materials.
+
+        Faces are grouped by usemtl material and each group is registered as
+        its own mesh (the framework is one-material-per-mesh, matching the
+        reference's per-object material, RayTraceMaster.cs:86). ``material``
+        overrides everything when given (and for faces with no usemtl).
+        Returns self; ``last_handle`` is the LAST group's handle.
+        """
+        from .models.obj import load_obj_with_materials
+
+        verts, faces, normals, face_mat, mats = load_obj_with_materials(path)
+        used = np.unique(face_mat) if len(face_mat) else np.array([0])
+        for mid in used:
+            group = faces[face_mat == mid] if len(face_mat) else faces
+            if not len(group):
+                continue
+            mat = material if material is not None else mats[mid]
+            self.add_mesh(verts, group, transform=transform, material=mat,
+                          normals=normals)
+        return self
+
     def remove(self, handle) -> "SceneBuilder":
         """Unregister a previously added object (UnregisterObject analog,
         RayTraceObject.cs:47 -> RayTraceMaster.cs:224): pass the handle
@@ -334,6 +361,9 @@ class SceneBuilder:
             skybox = np.zeros((2, 4, 3), np.float32)  # black sky
         else:
             skybox = self._skybox
+        skybox = np.asarray(skybox, np.float32)
+
+        from .ops.shade import pack_rgbe_np
 
         self.dirty = False
         # All leaves are host numpy: cheap to build and to feed the accel
@@ -344,5 +374,6 @@ class SceneBuilder:
             materials=materials,
             ground_enabled=np.float32(1.0 if self._ground else 0.0),
             ground_material_id=np.int32(ground_mid),
-            skybox=np.asarray(skybox, np.float32),
+            skybox=skybox,
+            skybox_rgbe=pack_rgbe_np(skybox),
         )

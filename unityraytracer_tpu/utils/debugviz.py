@@ -100,6 +100,34 @@ def export_aabbs_obj(accel: ClusterAccel, path: str,
     return path
 
 
+def export_normals_obj(triangles, path: str, scale: float = 0.25,
+                       max_tris: int = 50_000) -> str:
+    """Write per-vertex normal vectors as OBJ line segments — the headless
+    analog of the editor normal gizmos (``RayTraceDebug.DrawNormals``,
+    RayTraceDebug.cs:165-183: a line from each vertex along its normal).
+
+    Args:
+      triangles: a Triangles SoA (scene.triangles or accel.triangles).
+      scale: segment length in world units (the reference's ``normalLength``).
+      max_tris: safety cap for huge scenes (uniformly strided).
+    """
+    v = [np.asarray(x) for x in (triangles.v0, triangles.v1, triangles.v2)]
+    n = [np.asarray(x) for x in (triangles.n0, triangles.n1, triangles.n2)]
+    T = len(v[0])
+    stride = max(1, (T + max_tris - 1) // max_tris)
+    with open(path, "w") as f:
+        count = 0
+        for ti in range(0, T, stride):
+            for c in range(3):
+                p = v[c][ti]
+                q = p + n[c][ti] * scale
+                f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+                f.write(f"v {q[0]} {q[1]} {q[2]}\n")
+                f.write(f"l {count * 2 + 1} {count * 2 + 2}\n")
+                count += 1
+    return path
+
+
 def test_ray_report(accel: ClusterAccel, origin, direction) -> Dict:
     """Host-side ray-vs-hierarchy probe (the steerable debug test ray,
     RayTraceDebug.cs:70-89,120-133): which clusters does this ray's slab test

@@ -17,8 +17,13 @@ import jax
 class StageTimer:
     """Accumulating wall-clock timer keyed by stage name.
 
-    Use ``block=True`` (default) to block on async dispatch so device work is
-    attributed to the stage that launched it.
+    Use ``block=True`` (default) to synchronize before reading the clock so
+    device work is attributed to the stage that launched it. Synchronization
+    is a VALUE FETCH of the stage's result (``jax.block_until_ready`` does
+    not block through remote execution tunnels such as axon — it would
+    attribute dispatch latency, not compute). For true per-stage DEVICE time
+    use utils/profiling.profile_stages, which parses the profiler's device
+    timeline.
     """
 
     def __init__(self, block: bool = True):
@@ -31,7 +36,9 @@ class StageTimer:
         t0 = time.perf_counter()
         yield
         if self.block and result_holder:
-            jax.block_until_ready(result_holder)
+            from .profiling import fetch_sync
+
+            fetch_sync(result_holder)
         dt = time.perf_counter() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1
@@ -51,13 +58,20 @@ def mrays_per_sec(n_rays: int, seconds: float) -> float:
 
 def measure_throughput(fn, *args, warmup: int = 1, iters: int = 3,
                        n_rays: Optional[int] = None):
-    """Time a jitted callable; returns (best_seconds, mrays or None)."""
+    """Time a jitted callable; returns (best_seconds, mrays or None).
+
+    Synchronizes by fetching the result (block_until_ready is a no-op through
+    the axon execution tunnel — wall-clock timing without a fetch is
+    meaningless there).
+    """
+    from .profiling import fetch_sync
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        fetch_sync(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        fetch_sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best, (mrays_per_sec(n_rays, best) if n_rays else None)
 
