@@ -206,3 +206,38 @@ def test_pallas_accel_triangle_ceiling_error():
     fa.triangles = tr
     with pytest.raises(ValueError, match="single-block page culling"):
         prepare_pallas_accel(fa)
+
+
+def test_binned_kernel_identical_to_unbinned():
+    # The in-kernel coherence sort permutes rays, traces, and unpermutes via
+    # exact one-hot matmuls — results must be BIT-identical to the unbinned
+    # kernel (any difference means the permutation machinery is broken).
+    ro, rd = _rays(1024 + 137, seed=21)  # exercises padding too
+    rng = np.random.default_rng(6)
+    alive = jnp.asarray(rng.uniform(size=1024 + 137) > 0.3)
+    tracer = make_pallas_tracer(SCENE, ACCEL, CFG, interpret=True)
+    h0 = tracer(ro, rd, alive, bin_rays=False)
+    h1 = tracer(ro, rd, alive, bin_rays=True)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(h0.normal[k]),
+                                      np.asarray(h1.normal[k]))
+        np.testing.assert_array_equal(np.asarray(h0.albedo[k]),
+                                      np.asarray(h1.albedo[k]))
+    np.testing.assert_array_equal(np.asarray(h0.smoothness),
+                                  np.asarray(h1.smoothness))
+
+
+def test_render_with_binning_matches_brute():
+    cfg = RenderConfig(width=32, height=32, spp=1, bounces=3, tracer="pallas",
+                       ray_bin_bounces=(1, 2))
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
+    img_p = np.asarray(render_sample(SCENE, get_tracer(SCENE, cfg, pa), cam,
+                                     jax.random.key(3), cfg))
+    cfg_b = cfg.replace(tracer="brute", ray_chunk=2048)
+    img_b = np.asarray(render_sample(SCENE, get_tracer(SCENE, cfg_b, None),
+                                     cam, jax.random.key(3), cfg_b))
+    rmse = float(np.sqrt(np.mean((img_p - img_b) ** 2)))
+    assert rmse < 1e-4, rmse

@@ -57,6 +57,12 @@ class RenderConfig:
     # reweighted): collapses deep-bounce ray populations so the wavefront
     # parking skips whole tiles.
     russian_roulette: bool = True
+    # Inclusive bounce range over which the Pallas tracer runs its in-kernel
+    # ray coherence sort (counting sort by direction octant + dead bin, then
+    # trace in binned order, unpermute outputs — bit-identical results).
+    # Bounce 0 is camera-coherent already; deep bounces are RR-thinned and
+    # cheaper than the sort. (None, None) disables.
+    ray_bin_bounces: tuple = (1, 2)
 
     @property
     def num_pixels(self) -> int:

@@ -86,10 +86,14 @@ NCHAN = 24          # packed per-triangle attribute rows (19 used, 8-aligned)
 #                    positions and bounce origins, so it must be f32); edge
 #                    tests stay one-pass MXU bf16 (sign decisions only flip
 #                    within ~0.4% of an edge — silhouette-class noise).
-#   "mxu_highest"  — everything on the MXU at 6-pass f32 emulation
-#                    (measured +53% frame time on v5e).
-#   "mxu_high"     — 3-pass; ~1e-6 relative.
-GEOM_MODE = "vpu"
+#   "mxu_highest"  — everything on the MXU at 6-pass f32 emulation.
+# Measured on v5e (1080p/100k-tri/8-bounce frame, bf16-broken baseline
+# 485 ms): mxu_highest 697 ms (exact, oracle RMSE 2.6e-7), vpu 1049 ms
+# (exact; per-pass transposes dominate), hybrid 632 ms (REJECTED: bf16 edge
+# tests wrongly accept near-edge closer triangles — 60/18k rays off by up to
+# 56% t, oracle RMSE 2e-2). Mosaic does not implement Precision.HIGH, so a
+# 3-pass middle ground is unavailable.
+GEOM_MODE = "mxu_highest"
 
 _F32_MAX = 3.0e38
 _PAD_BOX = 1.0e30   # far-away point box for padded clusters/pages
@@ -146,20 +150,117 @@ def _for_set_bits(word, fn):
     jax.lax.while_loop(cond, body, word)
 
 
-def _trace_kernel(n_pages: int,
+NBINS = 72          # 8 direction octants x 8 origin cells + dead bin (pad 72)
+
+
+def _split3(x):
+    """Exact 3-way bf16 decomposition: x == h1 + h2 + h3, each term exactly
+    representable in bfloat16 (f32's 24 mantissa bits = 3 x 8)."""
+    h1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - h1
+    h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    h3 = r1 - h2
+    return h1, h2, h3
+
+
+def _permute_exact(M, P, p_dim: int):
+    """EXACT f32 permutation of M's lanes by one-hot matrix P on the MXU.
+
+    The MXU's default precision truncates operands to bf16 — but a one-hot
+    matmul only ever copies single values, so feeding it the three exact
+    bf16 splits of M (and P's exact 0/1 entries) reconstructs the f32
+    permutation exactly in three one-pass matmuls. ``p_dim`` selects which
+    index of P the lanes contract with: 0 applies the permutation, 1 applies
+    its inverse (P is orthogonal).
+    """
+    dims = (((1,), (p_dim,)), ((), ()))
+    out = None
+    for h in _split3(M):
+        p = jax.lax.dot_general(h, P, dims,
+                                preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
+def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
+    """(1, B) int32 coherence bin per ray; dead rays -> last bin.
+
+    Key = direction octant (major: rays in one octant sweep the scene in the
+    same order) x one origin-cell bit per axis around the scene center
+    (minor: adjacent bins are spatially adjacent, so a 128-ray tile that
+    straddles two bins still holds nearby rays). Dead rays (zero seed) group
+    last — whole tiles of them skip every culling and triangle pass (perfect
+    wavefront compaction at tile granularity). ``bbox`` is the static scene
+    bounding box baked at accel-prep time.
+    """
+    cx = 0.5 * (bbox[0] + bbox[3])
+    cy = 0.5 * (bbox[1] + bbox[4])
+    cz = 0.5 * (bbox[2] + bbox[5])
+    oct_ = ((rdx > 0).astype(jnp.int32)
+            + 2 * (rdy > 0).astype(jnp.int32)
+            + 4 * (rdz > 0).astype(jnp.int32))
+    cell = ((rox > cx).astype(jnp.int32)
+            + 2 * (roy > cy).astype(jnp.int32)
+            + 4 * (roz > cz).astype(jnp.int32))
+    return jnp.where(seed > 0, oct_ * 8 + cell, NBINS - 1)
+
+
+def _bin_destinations(bin_id):
+    """Stable counting sort by bin: (1, B) int32 -> (1, B) int32 positions.
+
+    One-hot bin matrix (NBINS, B) + Hillis-Steele prefix sums along lanes
+    (rank within bin) and along sublanes (bin offsets). All arithmetic in
+    f32 on integer values < B — exact.
+    """
+    B = bin_id.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NBINS, B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NBINS, B), 1)
+    m = (bin_id == sub).astype(jnp.float32)             # (NBINS, B) one-hot
+    pref = m
+    sh = 1
+    while sh < B:
+        rolled = pltpu.roll(pref, sh, axis=1)
+        pref = pref + jnp.where(lane >= sh, rolled, 0.0)
+        sh *= 2
+    excl = pref - m                                     # rank within bin
+    totals = jnp.sum(m, axis=1, keepdims=True)          # (NBINS, 1)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (NBINS, 1), 0)
+    run = totals
+    sh = 1
+    while sh < NBINS:
+        rolled = pltpu.roll(run, sh, axis=0)
+        run = run + jnp.where(sub1 >= sh, rolled, 0.0)
+        sh *= 2
+    offs = run - totals                                 # exclusive bin offset
+    d = jnp.sum(m * (excl + offs), axis=0, keepdims=True)
+    return d.astype(jnp.int32)
+
+
+def _perm_matrix(d):
+    """(1, B) destinations -> (B, B) one-hot P with P[i, j] = (d[i] == j),
+    so ``ins @ P`` places source lane i at destination lane d[i]."""
+    B = d.shape[1]
+    d_col = jnp.transpose(d)                            # (B, 1) int32
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    return (d_col == j_iota).astype(jnp.float32)
+
+
+def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
                   pgb_ref,
                   cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref,
                   epl_ref, epn_ref, chan_ref,
-                  out_t_ref, *out_chans):
-    # out_chans: 13 (ROWS, TILE) f32 refs — nx, ny, nz, albedo rgb,
-    # specular rgb, emission rgb, smoothness. Shading data is resolved
-    # IN-KERNEL because XLA's per-ray gathers run serially (~22 ns/element on
-    # v5e): the winner `pick` matrix is one-hot per ray column, so one MXU
-    # matmul of the cluster's packed (NCHAN, 128-triangle) attribute block
-    # against pick selects every winner's attributes at once.
+                  out_t_ref, *out_chans_and_scratch):
+    # Ray I/O is (1, BLOCK)-wide rows (rays purely in the lane dimension):
+    # out_chans: 13 (1, BLOCK) f32 refs — nx, ny, nz, albedo rgb,
+    # specular rgb, emission rgb, smoothness — plus a trailing (16, BLOCK)
+    # VMEM scratch that holds [t, 13 channels] during tracing. Shading data
+    # is resolved IN-KERNEL because XLA's per-ray gathers run serially
+    # (~22 ns/element on v5e): the winner `pick` matrix is one-hot per ray
+    # column, so one MXU matmul of the cluster's packed (NCHAN, 128-triangle)
+    # attribute block against pick selects every winner's attributes at once.
     #
     # seed_ref carries each ray's best NON-triangle hit distance (ground /
     # sphere candidates, computed cheaply in XLA before the kernel): best-t
@@ -171,19 +272,43 @@ def _trace_kernel(n_pages: int,
     # reference's per-thread early-out at compute:457-460). A triangle wins
     # only by strictly beating its ray's seed; the caller maps "t == seed"
     # back to a triangle miss.
-    out_t_ref[:] = seed_ref[:]
-    for oc in out_chans:
-        oc[:] = jnp.zeros((ROWS, TILE), jnp.float32)
+    #
+    # With ``bin_rays`` (incoherent bounces), the step's BLOCK rays are
+    # counting-sorted by direction octant (dead rays last) and traced in that
+    # order, then the outputs are unpermuted — every 128-ray tile becomes
+    # direction-coherent, so tile-level culling stops paying for 128 rays'
+    # worth of clusters when only a few rays need each. Permutation rides the
+    # MXU as an exact one-hot matmul (see _permute_exact); results are
+    # bit-identical to the unbinned kernel.
+    out_chans = out_chans_and_scratch[:-1]
+    S = out_chans_and_scratch[-1]            # (16, BLOCK) scratch
+
+    ins = jnp.concatenate(
+        [rox_ref[0], roy_ref[0], roz_ref[0],
+         rdx_ref[0], rdy_ref[0], rdz_ref[0], seed_ref[0],
+         jnp.zeros((1, BLOCK), jnp.float32)], axis=0)    # (8, BLOCK)
+    if bin_rays:
+        bins = _ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
+                            ins[3:4, :], ins[4:5, :], ins[5:6, :],
+                            ins[6:7, :], bbox)
+        P = _perm_matrix(_bin_destinations(bins))
+        A = _permute_exact(ins, P, 0)
+    else:
+        P = None
+        A = ins
+
+    S[:] = jnp.concatenate([A[6:7, :], jnp.zeros((15, BLOCK), jnp.float32)],
+                           axis=0)           # row 0 = best_t (seed-init)
 
     sub_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     sub_mat = jax.lax.broadcasted_iota(jnp.int32, (KSIZE, TILE), 0)
     LANE_MASK = jnp.int32(KSIZE - 1)        # low 7 bits carry the sublane id
 
     def row_body(r):
-        """Trace one 128-ray row of the (ROWS, TILE) block."""
-        rs = slice(r, r + 1)  # static: unrolled row loop compiles leaner
-        rox, roy, roz = rox_ref[rs, :], roy_ref[rs, :], roz_ref[rs, :]
-        rdx, rdy, rdz = rdx_ref[rs, :], rdy_ref[rs, :], rdz_ref[rs, :]
+        """Trace one 128-ray lane block of the (1, BLOCK) step."""
+        ls = slice(r * TILE, (r + 1) * TILE)  # static 128-aligned lane slice
+        rox, roy, roz = A[0:1, ls], A[1:2, ls], A[2:3, ls]
+        rdx, rdy, rdz = A[3:4, ls], A[4:5, ls], A[5:6, ls]
         ro = (rox, roy, roz)
         rd = (rdx, rdy, rdz)
 
@@ -207,7 +332,7 @@ def _trace_kernel(n_pages: int,
         D4 = jnp.concatenate([rdx, rdy, rdz] + [zero_row] * 5, axis=0)
 
         def best_t():
-            return out_t_ref[rs, :]
+            return S[0:1, ls]
 
         def cluster_pass(c):
             """Dense (tris, rays) Pluecker test for cluster c + best update.
@@ -329,9 +454,10 @@ def _trace_kernel(n_pages: int,
                             sel[12:13, :], sel[13:14, :], sel[14:15, :],
                             sel[15:16, :], sel[16:17, :], sel[17:18, :],
                             sel[18:19, :])
-                for oc, val in zip(out_chans, new_vals):
-                    oc[rs, :] = jnp.where(closer, val, oc[rs, :])
-                out_t_ref[rs, :] = jnp.where(closer, t_sel, out_t_ref[rs, :])
+                for oc_i, val in enumerate(new_vals):
+                    S[1 + oc_i:2 + oc_i, ls] = jnp.where(
+                        closer, val, S[1 + oc_i:2 + oc_i, ls])
+                S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
 
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
@@ -365,6 +491,13 @@ def _trace_kernel(n_pages: int,
     for r in range(ROWS):
         row_body(r)
 
+    OUT = S[:]                               # (16, BLOCK)
+    if bin_rays:
+        OUT = _permute_exact(OUT, P, 1)      # inverse: back to ray order
+    out_t_ref[0] = OUT[0:1, :]
+    for c, oc in enumerate(out_chans):
+        oc[0] = OUT[1 + c:2 + c, :]
+
 
 @struct.dataclass
 class PallasAccel:
@@ -385,6 +518,10 @@ class PallasAccel:
                                      # n0/n1/n2 xyz, albedo, specular,
                                      # emission, smoothness (19 rows + pad)
     n_pages: int = struct.field(pytree_node=False, default=1)
+    # Static scene bounds (xmin, ymin, zmin, xmax, ymax, zmax): the binning
+    # origin-cell key quantizes against these (baked at prep, not traced).
+    bbox: Tuple[float, ...] = struct.field(
+        pytree_node=False, default=(0., 0., 0., 1., 1., 1.))
 
 
 def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
@@ -496,43 +633,55 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
         chan[:, k, :] = col.reshape(Cp, KSIZE)
     chan = chan.reshape(Cp * NCHAN, KSIZE)
 
+    if T:
+        lo = np.minimum(np.minimum(v0[:T], v1[:T]), v2[:T]).min(axis=0)
+        hi = np.maximum(np.maximum(v0[:T], v1[:T]), v2[:T]).max(axis=0)
+    else:
+        lo, hi = np.zeros(3), np.ones(3)
+    bbox = tuple(float(x) for x in np.concatenate([lo, hi]))
+
     # Host numpy leaves; callers device_put the pytree once per scene build.
     return PallasAccel(pgb=pgb, cl_cols=cl_cols, epluck=epluck,
-                       eplane=eplane, chan=chan, n_pages=G)
+                       eplane=eplane, chan=chan, n_pages=G, bbox=bbox)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
 
 
-def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool):
+def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
+                           bin_rays: bool = False):
     """Run the kernel over all rays. ro/rd: Vec3 of (N,), N % BLOCK == 0.
 
     ``seed``: (N,) best-t upper bound per ray (non-triangle candidate hit
-    distance; 0 for dead rays, <= _F32_MAX always).
+    distance; 0 for dead rays, <= _F32_MAX always). ``bin_rays`` enables the
+    in-kernel coherence sort (use on incoherent bounces; bit-identical
+    results either way).
 
     Returns 14 (N,) arrays: t, nx, ny, nz, albedo rgb, specular rgb,
     emission rgb, smoothness. t stays == seed where no triangle beat it.
     """
     pgb, cl_cols, n_pages = pa.pgb, pa.cl_cols, pa.n_pages
     N = ro[0].shape[0]
-    n_rows = N // TILE
     n_steps = N // BLOCK
 
     def comp(a):
-        # Dense (n_rows, TILE) row layout: unit-stride windows, no padding.
-        return a.reshape(n_rows, TILE)
+        # Dense (n_steps, 1, BLOCK) wide-row layout: rays purely in the lane
+        # dim, unit-stride windows, no padding. (The middle singleton keeps
+        # Mosaic's trailing-two-dims block rule satisfied: the (1, BLOCK)
+        # window equals the array's trailing dims.)
+        return a.reshape(n_steps, 1, BLOCK)
 
     ray_in = [comp(ro[0]), comp(ro[1]), comp(ro[2]),
               comp(rd[0]), comp(rd[1]), comp(rd[2]), comp(seed)]
 
-    blk_spec = pl.BlockSpec((ROWS, TILE), lambda i: (i, 0),
+    blk_spec = pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    out_shape = [jax.ShapeDtypeStruct((n_rows, TILE), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((n_steps, 1, BLOCK), jnp.float32)
                  for _ in range(N_OUTS)]
 
-    kernel = functools.partial(_trace_kernel, n_pages)
+    kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
@@ -542,6 +691,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool):
         in_specs=[blk_spec] * 7 + [full()] * (1 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((16, BLOCK), jnp.float32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
     )(*ray_in, pgb, *cl_cols, pa.epluck, pa.eplane, pa.chan)
@@ -550,7 +700,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool):
 
 
 def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool,
-                               seed=None):
+                               seed=None, bin_rays: bool = False):
     """Full-material triangle candidate via the Pallas kernel (zero gathers).
 
     ro/rd are component-SoA Vec3 tuples of (N,). ``seed`` is an optional (N,)
@@ -576,7 +726,7 @@ def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool,
     else:
         seed_p = seed
 
-    outs = _pallas_triangle_trace(pa, ro, rd, seed_p, interpret)
+    outs = _pallas_triangle_trace(pa, ro, rd, seed_p, interpret, bin_rays)
     outs = tuple(o[:N] for o in outs)
     # out t == seed means "nothing beat the non-triangle candidate": a miss.
     t = jnp.where(outs[0] < seed, outs[0], INF)
@@ -602,10 +752,12 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
     if accel is not None:
         accel = jax.tree_util.tree_map(jnp.asarray, accel)
 
-    def tracer(ro, rd, alive=None) -> Hit:
+    def tracer(ro, rd, alive=None, bin_rays: bool = False) -> Hit:
         """ro/rd: Vec3 tuples of (N,); ``alive`` is an optional (N,) bool
         mask — dead rays are zero-seeded so the kernel skips all of their
-        culling and triangle work (tile-granular wavefront compaction)."""
+        culling and triangle work (tile-granular wavefront compaction).
+        ``bin_rays`` turns on the in-kernel coherence sort (incoherent
+        bounces; results are bit-identical either way)."""
         cands = [_ground_candidate(scene, ro, rd),
                  _sphere_candidate(scene, ro, rd)]
         if has_tris:
@@ -615,7 +767,7 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
             if alive is not None:
                 seed = jnp.where(alive, seed, 0.0)
             cands.append(_triangle_pallas_candidate(accel, ro, rd, interpret,
-                                                    seed))
+                                                    seed, bin_rays))
         return combine_candidates(scene, ro, rd, cands)
 
     return tracer

@@ -176,13 +176,14 @@ def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
 
 
 def trace_brute(scene: Scene, ro: Vec3, rd: Vec3, alive=None,
-                chunk: int = 8192) -> Hit:
+                bin_rays: bool = False, chunk: int = 8192) -> Hit:
     """Exhaustive closest-hit over ground + spheres + triangles.
 
-    ``alive`` is accepted for tracer-interface parity (the Pallas tracer uses
-    it for dead-ray work skipping); the dense oracle ignores it.
+    ``alive``/``bin_rays`` are accepted for tracer-interface parity (the
+    Pallas tracer uses them for dead-ray skipping and coherence binning);
+    the dense oracle ignores them.
     """
-    del alive
+    del alive, bin_rays
 
     def body(rox, roy, roz, rdx, rdy, rdz):
         ro_c = (rox, roy, roz)

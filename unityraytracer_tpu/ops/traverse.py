@@ -250,8 +250,8 @@ def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
               "cluster": _triangle_cluster_candidate}[cfg.tracer]
     has_tris = scene.num_triangles > 0
 
-    def tracer(ro: Vec3, rd: Vec3, alive=None) -> Hit:
-        del alive  # dead-ray skipping is a Pallas-tracer optimization
+    def tracer(ro: Vec3, rd: Vec3, alive=None, bin_rays: bool = False) -> Hit:
+        del alive, bin_rays  # Pallas-tracer optimizations
 
         def body(rox, roy, roz, rdx, rdy, rdz):
             ro_c = (rox, roy, roz)

@@ -148,8 +148,11 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     # per-ray gathers per bounce at ~46 ms each on v5e — more than the kernel
     # time it saves.
     alive = jnp.ones((N,), bool)
+    lo_bin, hi_bin = cfg.ray_bin_bounces
     for b in range(cfg.bounces):
-        hit = tracer(ro, rd, alive)
+        bin_b = (lo_bin is not None and hi_bin is not None
+                 and lo_bin <= b <= hi_bin)
+        hit = tracer(ro, rd, alive, bin_rays=bin_b)
         kb = jax.random.fold_in(k_bounce, b)
         uniforms = tuple(uniform(jax.random.fold_in(kb, i))
                          for i in range(3))
