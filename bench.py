@@ -10,6 +10,7 @@ README.md:2 only says it is "very slow"). Rays are counted as dispatched
 trace slots: width x height x spp x bounces per frame.
 """
 
+import functools
 import json
 import sys
 import time
@@ -25,7 +26,8 @@ def main() -> None:
     from unityraytracer_tpu import RenderConfig, RenderState
     from unityraytracer_tpu.models import fixtures
     from unityraytracer_tpu.ops.bvh import build_accel
-    from unityraytracer_tpu.render import get_tracer, progressive_step, render_sample
+    from unityraytracer_tpu.render import (get_tracer, progressive_step,
+                                           render_frame, render_sample)
 
     if on_tpu:
         cfg = RenderConfig(width=1920, height=1080, spp=1, bounces=8,
@@ -50,30 +52,35 @@ def main() -> None:
     accel = jax.device_put(accel)
     build_s = time.time() - t0
 
-    @jax.jit
-    def step(state, scene, camera, accel, key):
-        tracer = get_tracer(scene, cfg, accel)
-        frame = render_sample(scene, tracer, camera, key, cfg)
-        return progressive_step(state, frame)
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def step(state, scene, camera, accel, key, n_frames):
+        def body(i, st):
+            sub = jax.random.fold_in(key, st.n_samples)
+            frame = render_frame(scene, cfg, camera, sub, accel)
+            return progressive_step(st, frame)
+
+        # The whole frame block runs INSIDE one jit dispatch (fori_loop):
+        # through the axon execution tunnel, per-dispatch latency is large
+        # and noisy; a progressive renderer amortizes it the same way.
+        return jax.lax.fori_loop(0, n_frames, body, state)
 
     state = RenderState.create(cfg.width, cfg.height)
     key = jax.random.key(0)
 
     # NOTE: jax.block_until_ready does NOT actually block through the axon
     # execution tunnel — only a value fetch synchronizes. All timing below is
-    # fetch-based; frames are chained in one timed region so per-dispatch
-    # tunnel latency amortizes the way a progressive renderer would.
+    # fetch-based.
+    # Warm up with the same static n_frames as the timed block: one compile.
+    del warmup
     t0 = time.time()
-    for i in range(warmup):
-        key, sub = jax.random.split(key)
-        state = step(state, scene, camera, accel, sub)
+    key, sub = jax.random.split(key)
+    state = step(state, scene, camera, accel, sub, iters)
     np.asarray(jax.device_get(state.accum))
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        state = step(state, scene, camera, accel, sub)
+    key, sub = jax.random.split(key)
+    state = step(state, scene, camera, accel, sub, iters)
     img = np.asarray(jax.device_get(state.accum))
     best = (time.time() - t0) / iters
 
@@ -96,8 +103,9 @@ def main() -> None:
 
     @jax.jit
     def check_frame(scene, camera, accel, key, _cfg=ccfg):
-        return render_sample(scene, get_tracer(scene, _cfg, accel), camera,
-                             key, _cfg)
+        # render_frame: the same megakernel/bounce-loop choice the timed
+        # block made, so the oracle gate covers exactly the path that ships.
+        return render_frame(scene, _cfg, camera, key, accel)
 
     @jax.jit
     def oracle_frame(scene, camera, key, _cfg=bcfg):

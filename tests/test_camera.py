@@ -73,3 +73,49 @@ def test_explicit_matrix_matches_lookat():
     _, d1 = camera_rays(cam1, uv)
     _, d2 = camera_rays(cam2, uv)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+
+def test_orbit_positions_and_lookat():
+    from unityraytracer_tpu.camera import orbit
+
+    c = (1.0, 2.0, 3.0)
+    cam = orbit(c, radius=5.0, azimuth_deg=0.0, elevation_deg=0.0)
+    pos = np.asarray(cam.position)
+    np.testing.assert_allclose(pos, [1.0, 2.0, -2.0], atol=1e-5)
+    # Forward column points at the center.
+    fwd = np.asarray(cam.cam_to_world)[:3, 2]
+    np.testing.assert_allclose(fwd, [0, 0, 1], atol=1e-5)
+    # Elevation raises the camera, keeps the distance.
+    cam2 = orbit(c, radius=5.0, azimuth_deg=45.0, elevation_deg=30.0)
+    p2 = np.asarray(cam2.position)
+    assert abs(np.linalg.norm(p2 - np.asarray(c)) - 5.0) < 1e-5
+    assert p2[1] > 2.0
+
+
+def test_interpolate_endpoints_and_rotation():
+    from unityraytracer_tpu.camera import interpolate, orbit
+
+    a = orbit((0, 0, 0), 4.0, 0.0, 10.0, fov_y_deg=50.0)
+    b = orbit((0, 0, 0), 4.0, 90.0, 10.0, fov_y_deg=70.0)
+    for t, ref in ((0.0, a), (1.0, b)):
+        m = interpolate(a, b, t)
+        np.testing.assert_allclose(np.asarray(m.cam_to_world),
+                                   np.asarray(ref.cam_to_world), atol=1e-5)
+    mid = interpolate(a, b, 0.5)
+    r = np.asarray(mid.cam_to_world)[:3, :3]
+    # Slerp keeps the rotation orthonormal (a naive matrix lerp would not).
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert abs(float(np.asarray(mid.tan_half_fov))
+               - 0.5 * (np.tan(np.deg2rad(25)) + np.tan(np.deg2rad(35)))) < 1e-5
+
+
+def test_turntable_closes_loop():
+    from unityraytracer_tpu.camera import turntable
+
+    cams = turntable((0, 1, 0), 3.0, 8, elevation_deg=20.0)
+    assert len(cams) == 8
+    ps = np.stack([np.asarray(c.position) for c in cams])
+    # All on the orbit sphere; distinct azimuths.
+    d = np.linalg.norm(ps - np.array([0, 1, 0]), axis=1)
+    np.testing.assert_allclose(d, 3.0, atol=1e-5)
+    assert np.unique(np.round(ps[:, 0], 4)).size > 4

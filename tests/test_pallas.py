@@ -48,13 +48,17 @@ def _rays(R, seed=0, spread=4.0):
 def _assert_matches_brute(scene, accel, ro, rd):
     hb = trace_brute(scene, ro, rd)
     hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
-    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
-                               rtol=1e-4, atol=1e-4)
+    tb = np.asarray(hb.t)
+    np.testing.assert_allclose(tb, np.asarray(hp.t), rtol=1e-4, atol=1e-4)
+    # Attribute rows are only meaningful on HIT lanes: on a miss the XLA
+    # combine leaks the first candidate's (ground) material while the merged
+    # kernel reports zeros — shading masks both.
+    hit = np.isfinite(tb) & (tb < 1e30)
     for k in range(3):
-        np.testing.assert_allclose(np.asarray(hb.normal[k]),
-                                   np.asarray(hp.normal[k]), atol=1e-3)
-        np.testing.assert_array_equal(np.asarray(hb.albedo[k]),
-                                      np.asarray(hp.albedo[k]))
+        np.testing.assert_allclose(np.asarray(hb.normal[k])[hit],
+                                   np.asarray(hp.normal[k])[hit], atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(hb.albedo[k])[hit],
+                                      np.asarray(hp.albedo[k])[hit])
 
 
 def test_kernel_matches_brute_non_tile_multiple():
@@ -97,14 +101,18 @@ def test_kernel_multi_page_scene():
 
 def test_prepare_pallas_accel_shapes():
     pa = prepare_pallas_accel(ACCEL, SCENE.materials)
-    assert pa.pgb.shape == (8, 128)
+    assert len(pa.pgb) == 6 and pa.pgb[0].shape == (8, 1)  # 1 page -> PW=8
     assert len(pa.cl_cols) == 6
     G = pa.cl_cols[0].shape[0]
     assert pa.n_pages == G
     Cp = G * 128
-    assert pa.epluck.shape == (Cp * 8, 3 * 128)
-    assert pa.eplane.shape == (Cp * 8, 128)
-    assert pa.chan.shape[0] == Cp * 24 and pa.chan.shape[1] == 128
+    # Fused-split geometry modes store 3 bf16 component groups per cluster
+    # (and 2 for the attribute block); the other modes store plain f32 rows.
+    egroups = 3 if pa.geom in ("mxu_f6", "mxu_f3") else 1
+    cgroups = 3 if pa.geom in ("mxu_f6", "mxu_f3") else 1
+    assert pa.epluck.shape == (Cp * 8 * egroups, 3 * 128)
+    assert pa.eplane.shape == (Cp * 8 * egroups, 128)
+    assert pa.chan.shape == (Cp * 24 * cgroups, 128)
 
 
 def test_render_through_pallas_tracer():

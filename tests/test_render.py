@@ -158,7 +158,9 @@ def test_golden_scene1_regression():
                        ray_chunk=6144)
     for tracer_cfg in (cfg,
                        cfg.replace(tracer="cluster", cluster_size=32),
-                       cfg.replace(tracer="pallas")):
+                       cfg.replace(tracer="pallas"),             # megakernel
+                       cfg.replace(tracer="pallas", megakernel=False)):
         r = Renderer(scene, cam, tracer_cfg, seed=123).step(8)
         err = rmse(r.image, golden)
-        assert err < 1e-3, (tracer_cfg.tracer, err)
+        tag = tracer_cfg.tracer + ("" if tracer_cfg.megakernel else "-loop")
+        assert err < 1e-3, (tag, err)

@@ -63,6 +63,11 @@ class RenderConfig:
     # Bounce 0 is camera-coherent already; deep bounces are RR-thinned and
     # cheaper than the sort. (None, None) disables.
     ray_bin_bounces: tuple = (1, 2)
+    # Full-path megakernel (ops/pallas_path.py): trace + ground/spheres +
+    # shading for ALL bounces inside one Pallas dispatch, path state resident
+    # in VMEM. Applies to tracer="pallas"; the bounce-loop path remains for
+    # every other tracer (and as the reference implementation).
+    megakernel: bool = True
 
     @property
     def num_pixels(self) -> int:

@@ -258,7 +258,7 @@ def build_accel(scene: Scene, cfg):
     accel = build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
     if getattr(cfg, "tracer", None) == "pallas":
         from .pallas_trace import prepare_pallas_accel
-        return prepare_pallas_accel(accel, scene.materials)
+        return prepare_pallas_accel(accel, scene.materials, scene=scene)
     return accel
 
 

@@ -51,7 +51,7 @@ are legal only in the sublane dimension; (N, 1)-shaped pallas operands get
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -87,16 +87,42 @@ NCHAN = 24          # packed per-triangle attribute rows (19 used, 8-aligned)
 #                    tests stay one-pass MXU bf16 (sign decisions only flip
 #                    within ~0.4% of an edge — silhouette-class noise).
 #   "mxu_highest"  — everything on the MXU at 6-pass f32 emulation.
+#   "mxu_f6"       — the SAME six bf16 products as mxu_highest, but fused
+#                    into ONE MXU dot per quantity: the per-triangle constant
+#                    blocks are pre-split host-side into their three bf16
+#                    components (f32's 24 mantissa bits = 3 x 8, the
+#                    _permute_exact trick) and stacked along the CONTRACTION
+#                    dim, the per-ray vectors likewise in-kernel — a k=48 dot
+#                    at DEFAULT precision computes hH+hM+mH+hL+lH+mM exactly
+#                    (every operand is bf16-representable, accumulation is
+#                    f32). Same numerics as HIGHEST at one dot call instead
+#                    of six.
+#   "mxu_f3"       — the 3-product subset (hH+hM+mH, a k=24 dot): relative
+#                    error ~2^-17 per quantity (vs bf16's 2^-8 that broke
+#                    round 1) at half the f6 MAC count.
 # Measured on v5e (1080p/100k-tri/8-bounce frame, bf16-broken baseline
 # 485 ms): mxu_highest 697 ms (exact, oracle RMSE 2.6e-7), vpu 1049 ms
 # (exact; per-pass transposes dominate), hybrid 632 ms (REJECTED: bf16 edge
 # tests wrongly accept near-edge closer triangles — 60/18k rays off by up to
-# 56% t, oracle RMSE 2e-2). Mosaic does not implement Precision.HIGH, so a
-# 3-pass middle ground is unavailable.
-GEOM_MODE = "mxu_highest"
+# 56% t, oracle RMSE 2e-2). Mosaic does not implement Precision.HIGH, so the
+# fused-split modes above are the hand-rolled middle ground.
+GEOM_MODE = "mxu_f6"
 
 _F32_MAX = 3.0e38
 _PAD_BOX = 1.0e30   # far-away point box for padded clusters/pages
+
+# Debug: when True, each ray row counts its cluster passes in scratch row 14
+# and the kernel emits that count IN PLACE OF the smoothness channel — the
+# mean of Hit.smoothness over a traced batch is then (cluster passes per
+# 128-ray tile). Perf instrumentation only; never enable for rendering.
+COUNT_PASSES = False
+
+# Re-test each cluster's AABB against the tile's CURRENT best-t immediately
+# before its triangle pass (a ~20-op (1, rays) slab on broadcast bound rows):
+# page-level culling gated on the best-t at page ENTRY, so every hit found
+# inside the page invalidates later clusters that the entry-time test let
+# through. Scalar skip => a pruned cluster costs nothing but the re-test.
+REGATE = True
 
 
 def _col(row):
@@ -122,9 +148,10 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
 
 
 def _pack_flags_col(flags_col, sub):
-    """(128, 1) bool column -> four int32 bitmask scalars."""
+    """(B, 1) bool column -> ceil(B/32) int32 bitmask scalars."""
+    B = flags_col.shape[0]
     words = []
-    for w in range(4):
+    for w in range((B + 31) // 32):
         in_word = (sub >= w * 32) & (sub < (w + 1) * 32)
         shifted = jnp.left_shift(jnp.int32(1), jnp.bitwise_and(sub, 31))
         words.append(jnp.sum(jnp.where(in_word & flags_col, shifted, 0)))
@@ -150,7 +177,87 @@ def _for_set_bits(word, fn):
     jax.lax.while_loop(cond, body, word)
 
 
-NBINS = 72          # 8 direction octants x 8 origin cells + dead bin (pad 72)
+# In-kernel coherence-sort key scheme (see _ray_bin_ids):
+#   "oct_cell"   — 8 direction octants x 8 scene-halves origin cells (64+dead)
+#   "oct_src"    — 8 octants x source 128-lane tile id (origin locality comes
+#                  from the camera's pixel-block order instead of scene cells)
+#   "oct24_cell" — octant x dominant direction axis (24 cones) x 8 cells
+#   "oct_cell32" — 8 octants x 32 origin cells (4x4 in xz, 2 in y)
+#   "morton_fine" — FULL bitonic sort by (dead | octant | 15-bit Morton
+#                  origin cell | lane): a counting sort is O(bins x B) so it
+#                  caps at ~64 coarse bins, but a bitonic network is
+#                  O(B log^2 B) in cheap lane ops REGARDLESS of key
+#                  granularity — 32x32x32 origin cells make each 128-ray
+#                  tile as spatially pure as the sort window allows.
+BIN_SCHEME = "oct_cell"
+
+_LANE_BITS = 11      # morton_fine key layout: lane idx in the low bits
+
+
+def _morton_fine_keys(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
+    """(1, B) int32 sort keys: dead(1) | octant(3) | morton15 | lane(11)."""
+    B = rox.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+    def q5(v, lo, hi):
+        x = (v - lo) * (31.999 / max(hi - lo, 1e-9))
+        return jnp.clip(x.astype(jnp.int32), 0, 31)
+
+    xq = q5(rox, bbox[0], bbox[3])
+    yq = q5(roy, bbox[1], bbox[4])
+    zq = q5(roz, bbox[2], bbox[5])
+    morton = jnp.zeros_like(lane)
+    for l in range(5):
+        morton = jnp.bitwise_or(
+            morton,
+            jnp.left_shift(jnp.bitwise_and(jnp.right_shift(xq, l), 1),
+                           3 * l + 2)
+            | jnp.left_shift(jnp.bitwise_and(jnp.right_shift(zq, l), 1),
+                             3 * l + 1)
+            | jnp.left_shift(jnp.bitwise_and(jnp.right_shift(yq, l), 1),
+                             3 * l))
+    oct_ = ((rdx > 0).astype(jnp.int32)
+            + 2 * (rdy > 0).astype(jnp.int32)
+            + 4 * (rdz > 0).astype(jnp.int32))
+    dead = (seed <= 0).astype(jnp.int32)
+    return (lane
+            + jnp.left_shift(morton, _LANE_BITS)
+            + jnp.left_shift(oct_, _LANE_BITS + 15)
+            + jnp.left_shift(dead, _LANE_BITS + 18))
+
+
+def _bitonic_sort_row(x):
+    """Ascending bitonic sort of a (1, B) int32 row along lanes.
+
+    Batcher's network: log2(B)(log2(B)+1)/2 compare-exchange sweeps, each a
+    pair of cyclic lane rolls + min/max/select — no gathers, no scalar loops.
+    XOR partners never cross their 2j-block, so cyclic rolls are safe.
+    """
+    B = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    k = 2
+    while k <= B:
+        j = k // 2
+        while j >= 1:
+            lower = jnp.bitwise_and(lane, j) == 0
+            asc = jnp.bitwise_and(lane, k) == 0
+            # roll requires non-negative shifts: -j == B - j cyclically.
+            pv = jnp.where(lower, pltpu.roll(x, B - j, axis=1),
+                           pltpu.roll(x, j, axis=1))
+            want_min = lower == asc
+            x = jnp.where(want_min, jnp.minimum(x, pv), jnp.maximum(x, pv))
+            j //= 2
+        k *= 2
+    return x
+
+
+def _nbins() -> int:
+    """Bin count for the active scheme (+1 dead bin, padded to % 8)."""
+    raw = {"oct_cell": 65,
+           "oct_src": 8 * (BLOCK // TILE) + 1,
+           "oct24_cell": 24 * 8 + 1,
+           "oct_cell32": 8 * 32 + 1}[BIN_SCHEME]
+    return ((raw + 7) // 8) * 8
 
 
 def _split3(x):
@@ -176,7 +283,10 @@ def _permute_exact(M, P, p_dim: int):
     dims = (((1,), (p_dim,)), ((), ()))
     out = None
     for h in _split3(M):
-        p = jax.lax.dot_general(h, P, dims,
+        # Every split component is bf16-representable (the 3rd up to the
+        # truncation the MXU would apply anyway), so the bf16 cast is free
+        # precision-wise and runs the dot at native bf16 operand width.
+        p = jax.lax.dot_general(h.astype(jnp.bfloat16), P, dims,
                                 preferred_element_type=jnp.float32)
         out = p if out is None else out + p
     return out
@@ -199,10 +309,34 @@ def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
     oct_ = ((rdx > 0).astype(jnp.int32)
             + 2 * (rdy > 0).astype(jnp.int32)
             + 4 * (rdz > 0).astype(jnp.int32))
-    cell = ((rox > cx).astype(jnp.int32)
-            + 2 * (roy > cy).astype(jnp.int32)
-            + 4 * (roz > cz).astype(jnp.int32))
-    return jnp.where(seed > 0, oct_ * 8 + cell, NBINS - 1)
+    if BIN_SCHEME == "oct_src":
+        B = rox.shape[1]
+        src = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) // TILE
+        key = oct_ * (B // TILE) + src
+    elif BIN_SCHEME == "oct24_cell":
+        ax_, ay, az = jnp.abs(rdx), jnp.abs(rdy), jnp.abs(rdz)
+        dom = jnp.where((ax_ >= ay) & (ax_ >= az), 0,
+                        jnp.where(ay >= az, 1, 2))
+        cell = ((rox > cx).astype(jnp.int32)
+                + 2 * (roy > cy).astype(jnp.int32)
+                + 4 * (roz > cz).astype(jnp.int32))
+        key = (oct_ * 3 + dom) * 8 + cell
+    elif BIN_SCHEME == "oct_cell32":
+        def quart(v, lo, hi):
+            q1, q2, q3 = (lo + 0.25 * (hi - lo), 0.5 * (lo + hi),
+                          lo + 0.75 * (hi - lo))
+            return ((v > q1).astype(jnp.int32) + (v > q2).astype(jnp.int32)
+                    + (v > q3).astype(jnp.int32))
+        cell = ((quart(rox, bbox[0], bbox[3]) * 4
+                 + quart(roz, bbox[2], bbox[5])) * 2
+                + (roy > cy).astype(jnp.int32))
+        key = oct_ * 32 + cell
+    else:
+        cell = ((rox > cx).astype(jnp.int32)
+                + 2 * (roy > cy).astype(jnp.int32)
+                + 4 * (roz > cz).astype(jnp.int32))
+        key = oct_ * 8 + cell
+    return jnp.where(seed > 0, key, _nbins() - 1)
 
 
 def _bin_destinations(bin_id):
@@ -213,9 +347,10 @@ def _bin_destinations(bin_id):
     f32 on integer values < B — exact.
     """
     B = bin_id.shape[1]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NBINS, B), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NBINS, B), 1)
-    m = (bin_id == sub).astype(jnp.float32)             # (NBINS, B) one-hot
+    nbins = _nbins()
+    sub = jax.lax.broadcasted_iota(jnp.int32, (nbins, B), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nbins, B), 1)
+    m = (bin_id == sub).astype(jnp.float32)             # (nbins, B) one-hot
     pref = m
     sh = 1
     while sh < B:
@@ -223,11 +358,11 @@ def _bin_destinations(bin_id):
         pref = pref + jnp.where(lane >= sh, rolled, 0.0)
         sh *= 2
     excl = pref - m                                     # rank within bin
-    totals = jnp.sum(m, axis=1, keepdims=True)          # (NBINS, 1)
-    sub1 = jax.lax.broadcasted_iota(jnp.int32, (NBINS, 1), 0)
+    totals = jnp.sum(m, axis=1, keepdims=True)          # (nbins, 1)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (nbins, 1), 0)
     run = totals
     sh = 1
-    while sh < NBINS:
+    while sh < nbins:
         rolled = pltpu.roll(run, sh, axis=0)
         run = run + jnp.where(sub1 >= sh, rolled, 0.0)
         sh *= 2
@@ -242,15 +377,17 @@ def _perm_matrix(d):
     B = d.shape[1]
     d_col = jnp.transpose(d)                            # (B, 1) int32
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    return (d_col == j_iota).astype(jnp.float32)
+    return (d_col == j_iota).astype(jnp.bfloat16)       # 0/1: exact in bf16
 
 
-def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
+def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
-                  pgb_ref,
+                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
+                  pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
                   cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref,
+                  cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref,
                   epl_ref, epn_ref, chan_ref,
                   out_t_ref, *out_chans_and_scratch):
     # Ray I/O is (1, BLOCK)-wide rows (rays purely in the lane dimension):
@@ -287,7 +424,16 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
         [rox_ref[0], roy_ref[0], roz_ref[0],
          rdx_ref[0], rdy_ref[0], rdz_ref[0], seed_ref[0],
          jnp.zeros((1, BLOCK), jnp.float32)], axis=0)    # (8, BLOCK)
-    if bin_rays:
+    if bin_rays and BIN_SCHEME == "morton_fine":
+        keys = _morton_fine_keys(ins[0:1, :], ins[1:2, :], ins[2:3, :],
+                                 ins[3:4, :], ins[4:5, :], ins[5:6, :],
+                                 ins[6:7, :], bbox)
+        src = jnp.bitwise_and(_bitonic_sort_row(keys),
+                              jnp.int32((1 << _LANE_BITS) - 1))  # (1, B)
+        i_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+        P = (i_iota == src).astype(jnp.bfloat16)  # P[i, dst] = (src[dst]==i)
+        A = _permute_exact(ins, P, 0)
+    elif bin_rays:
         bins = _ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
                             ins[3:4, :], ins[4:5, :], ins[5:6, :],
                             ins[6:7, :], bbox)
@@ -297,8 +443,50 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
         P = None
         A = ins
 
-    S[:] = jnp.concatenate([A[6:7, :], jnp.zeros((15, BLOCK), jnp.float32)],
-                           axis=0)           # row 0 = best_t (seed-init)
+    if merged:
+        # MERGED mode: ground + spheres run IN-KERNEL and seed both best-t
+        # and the hit channels (row 6 of A carries the alive sentinel:
+        # F32_MAX alive, 0 dead). Triangles then overwrite wherever strictly
+        # closer — the kernel's outputs are the COMPLETE merged hit, and the
+        # per-bounce XLA candidate/combine stages disappear entirely.
+        _ground_sphere_init(A, S, A[6:7, :],
+                            scx_ref[:], scy_ref[:], scz_ref[:], sr_ref[:],
+                            sattr_ref[:], gmisc_ref[:])
+    else:
+        S[:] = jnp.concatenate(
+            [A[6:7, :], jnp.zeros((15, BLOCK), jnp.float32)],
+            axis=0)           # row 0 = best_t (seed-init)
+
+    _trace_block(geom, n_pages, A, S,
+                 (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref),
+                 (cxmin_ref, cymin_ref, czmin_ref,
+                  cxmax_ref, cymax_ref, czmax_ref),
+                 (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
+                 epl_ref, epn_ref, chan_ref)
+
+    OUT = S[:]                               # (16, BLOCK)
+    if bin_rays:
+        OUT = _permute_exact(OUT, P, 1)      # inverse: back to ray order
+    out_t_ref[0] = OUT[0:1, :]
+    for c, oc in enumerate(out_chans):
+        src = 14 if (COUNT_PASSES and c == len(out_chans) - 1) else 1 + c
+        oc[0] = OUT[src:src + 1, :]
+
+
+def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
+                 epl_ref, epn_ref, chan_ref):
+    """Run the page/cluster/triangle machinery for one grid step.
+
+    A: (>=7, BLOCK) ray matrix — rows 0-2 origin, 3-5 direction, 6 initial
+    best-t (0 = dead ray). S: (16, BLOCK) VMEM scratch ref with row 0
+    pre-seeded to the initial best-t; rows 0-13 hold [t, 13 hit channels]
+    after the call (a triangle only overwrites rows where it beat row 0's
+    seed). Shared by the single-bounce kernel and the full-path megakernel.
+    """
+    (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref) = pg_refs
+    (cxmin_ref, cymin_ref, czmin_ref,
+     cxmax_ref, cymax_ref, czmax_ref) = cl_refs
+    (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref) = cb_refs
 
     sub_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     sub_mat = jax.lax.broadcasted_iota(jnp.int32, (KSIZE, TILE), 0)
@@ -331,10 +519,53 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                               zero_row, zero_row, zero_row, zero_row], axis=0)
         D4 = jnp.concatenate([rdx, rdy, rdz] + [zero_row] * 5, axis=0)
 
+        if geom in ("mxu_f6", "mxu_f3"):
+            # Fused-split ray operands: stack the bf16 components along the
+            # contraction dim, paired with the [h,h,m,(h,l,m)] triangle-side
+            # groups, so ONE default-precision dot computes the 6 (or 3)
+            # exact bf16 products. t_num and t_den share the plane block, so
+            # their ray vectors concatenate along LANES into a single dot.
+            def fuse_ray(v):
+                h, m, l = _split3(v)
+                if geom == "mxu_f6":
+                    return jnp.concatenate([h, m, h, l, h, m], axis=0)
+                return jnp.concatenate([h, m, h], axis=0)
+
+            B_e = fuse_ray(P8)                                   # (k, TILE)
+            B_od = jnp.concatenate([fuse_ray(O4), fuse_ray(D4)],
+                                   axis=1)                       # (k, 2*TILE)
+
         def best_t():
             return S[0:1, ls]
 
         def cluster_pass(c):
+            """Re-gate cluster c against the CURRENT best-t, then test it.
+
+            One (1, rays) slab test against broadcast bound rows: every hit
+            recorded since this page's cluster-level culling ran tightens
+            best-t, so clusters admitted at page entry are frequently dead by
+            the time their turn comes — the scalar skip saves their dots.
+            """
+            if not REGATE:
+                return _cluster_body(c)
+            row = pl.ds(c, 1)
+            tmn = jnp.full((1, TILE), -_F32_MAX, jnp.float32)
+            tmx = jnp.full((1, TILE), _F32_MAX, jnp.float32)
+            for a, (r0, r1) in enumerate(((cbx0_ref, cbx1_ref),
+                                          (cby0_ref, cby1_ref),
+                                          (cbz0_ref, cbz1_ref))):
+                t1 = (r0[row, :] - ro[a]) * inv[a]
+                t2 = (r1[row, :] - ro[a]) * inv[a]
+                tmn = jnp.maximum(tmn, jnp.minimum(t1, t2))
+                tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
+            live = ((tmx >= tmn) & (tmx > 0)
+                    & (jnp.maximum(tmn, 0.0) < best_t()))
+
+            @pl.when(jnp.any(live))
+            def _():
+                _cluster_body(c)
+
+        def _cluster_body(c):
             """Dense (tris, rays) Pluecker test for cluster c + best update.
 
             Edge-side values are one MXU contraction of the cluster's packed
@@ -345,15 +576,47 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
             n.d < -eps, inside iff all edge values <= 0, u = e20/sum,
             v = e01/sum).
             """
+            if COUNT_PASSES:
+                S[14:15, ls] = S[14:15, ls] + 1.0
+            if geom in ("mxu_f6", "mxu_f3"):
+                # Blocks are stored as three 8-row bf16-component groups
+                # [h; m; l]; stack them along the contraction dim to pair
+                # with the fused ray operands (see fuse_ray above).
+                eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+
+                def fuse_tri(blk):
+                    h, m, l = blk[0:8], blk[8:16], blk[16:24]
+                    if geom == "mxu_f6":
+                        return jnp.concatenate([h, h, m, h, l, m], axis=0)
+                    return jnp.concatenate([h, h, m], axis=0)
+
+                dims = (((0,), (0,)), ((), ()))
+                e_all = jax.lax.dot_general(
+                    fuse_tri(eblk), B_e, dims,
+                    preferred_element_type=jnp.float32)          # (3K, rays)
+                e01 = e_all[0:KSIZE, :]
+                e12 = e_all[KSIZE:2 * KSIZE, :]
+                e20 = e_all[2 * KSIZE:3 * KSIZE, :]
+                tnd = jax.lax.dot_general(
+                    fuse_tri(pblk), B_od, dims,
+                    preferred_element_type=jnp.float32)          # (K, 2*TILE)
+                t_num = tnd[:, 0:TILE]
+                t_den = tnd[:, TILE:2 * TILE]
+                return _winner_update(c, e01, e12, e20, t_num, t_den)
+
             eblk = epl_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, 3K)
             pblk = epn_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, K)
 
             def row_col(blk, r, lane0=0, width=KSIZE):
                 # (1, width) row slice of a VMEM block -> (width, 1) column
                 # (the only Mosaic-supported in-kernel transpose shape).
+                # Lane offsets must be 128-multiples, so the VPU modes
+                # require the default KSIZE.
+                assert KSIZE % 128 == 0, "vpu/hybrid modes need KSIZE=128"
                 return _col(blk[r:r + 1, lane0:lane0 + width])
 
-            if GEOM_MODE in ("vpu", "hybrid"):
+            if geom in ("vpu", "hybrid"):
                 # Exact f32 plane: t_num = -(n.o + dp), t_den = n.d as
                 # broadcast outer products of per-triangle constant columns
                 # against per-ray rows — no MXU rounding on the quantity
@@ -364,7 +627,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                 t_den = nx * rdx + ny * rdy + nz * rdz
             else:
                 prec = (jax.lax.Precision.HIGHEST
-                        if GEOM_MODE == "mxu_highest"
+                        if geom == "mxu_highest"
                         else jax.lax.Precision.HIGH)
                 t_num = jax.lax.dot_general(
                     pblk, O4, (((0,), (0,)), ((), ())), precision=prec,
@@ -373,7 +636,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                     pblk, D4, (((0,), (0,)), ((), ())), precision=prec,
                     preferred_element_type=jnp.float32)
 
-            if GEOM_MODE == "vpu":
+            if geom == "vpu":
                 # Exact f32 edge tests: e = mom.d + dir.(o x d) per edge.
                 m_rows = (mx, my, mz)
                 d_rows = (rdx, rdy, rdz)
@@ -386,9 +649,9 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                     es.append(e)
                 e01, e12, e20 = es
             else:
-                prec = (jax.lax.Precision.DEFAULT if GEOM_MODE == "hybrid"
+                prec = (jax.lax.Precision.DEFAULT if geom == "hybrid"
                         else jax.lax.Precision.HIGHEST
-                        if GEOM_MODE == "mxu_highest"
+                        if geom == "mxu_highest"
                         else jax.lax.Precision.HIGH)
                 e_all = jax.lax.dot_general(
                     eblk, P8, (((0,), (0,)), ((), ())), precision=prec,
@@ -396,37 +659,67 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                 e01 = e_all[0:KSIZE, :]
                 e12 = e_all[KSIZE:2 * KSIZE, :]
                 e20 = e_all[2 * KSIZE:3 * KSIZE, :]
-            front = t_den <= -1e-8               # == MT97 det >= 1e-8
-            t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
-            ok = (front & (e01 <= 0.0) & (e12 <= 0.0) & (e20 <= 0.0)
-                  & (t > 0.0) & (t < best_t()))
-            t_bits = jax.lax.bitcast_convert_type(jnp.where(ok, t, _F32_MAX),
-                                                  jnp.int32)
-            key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LANE_MASK), sub_mat)
-            win_key = jnp.min(key, axis=0, keepdims=True)      # (1, rays)
-            t_win = jax.lax.bitcast_convert_type(
-                jnp.bitwise_and(win_key, ~LANE_MASK), jnp.float32)
-            # Guard against the all-miss column: clearing the lane bits makes
-            # the F32_MAX sentinel compare as slightly LESS than a fresh
-            # sentinel, which would let garbage attribute sums through.
-            closer = (t_win < best_t()) & (t_win < _F32_MAX * 0.25)
+            return _winner_update(c, e01, e12, e20, t_num, t_den)
 
-            # Winner attribute selection — only when some ray improved
-            # (incoherent passes often test clusters that win nothing; the
-            # scalar skip saves the matmul + selects). pick is one-hot over
-            # triangles for every ray column (lane bits make keys unique), so
-            # a single MXU matmul of the packed per-cluster attribute block
-            # (NCHAN, tris) against pick (tris, rays) yields each winner's
-            # attributes.
-            @pl.when(jnp.any(closer))
+        def _winner_update(c, e01, e12, e20, t_num, t_den):
+            """Hit test + winner select + attribute update for one cluster.
+
+            The acceptance test is DIVISION-FREE (t = n/d with d < 0, so
+            t > 0 <=> n < 0 and t < best <=> n > best*d), and the whole
+            winner-selection epilogue — divide, key packing, min-reduce,
+            attribute matmul — runs under a scalar skip: incoherent passes
+            frequently test a cluster whose box overlaps the tile but where
+            no triangle beats any ray's current best.
+            """
+            front = t_den <= -1e-8               # == MT97 det >= 1e-8
+            # max-of-edges folds three sign tests into one compare.
+            e_max = jnp.maximum(jnp.maximum(e01, e12), e20)
+            ok = (front & (e_max <= 0.0)
+                  & (t_num < 0.0) & (t_num > best_t() * t_den))
+
+            @pl.when(jnp.any(ok))
             def _():
+                t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
+                t_bits = jax.lax.bitcast_convert_type(
+                    jnp.where(ok, t, _F32_MAX), jnp.int32)
+                key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LANE_MASK),
+                                     sub_mat)
+                win_key = jnp.min(key, axis=0, keepdims=True)  # (1, rays)
+                t_win = jax.lax.bitcast_convert_type(
+                    jnp.bitwise_and(win_key, ~LANE_MASK), jnp.float32)
+                # Guard against the all-miss column: clearing the lane bits
+                # makes the F32_MAX sentinel compare as slightly LESS than a
+                # fresh sentinel, which would let garbage through.
+                closer = (t_win < best_t()) & (t_win < _F32_MAX * 0.25)
+
+                # Winner attribute selection: pick is one-hot over triangles
+                # for every ray column (lane bits make keys unique), so one
+                # MXU matmul of the packed per-cluster attribute block
+                # (NCHAN, tris) against pick (tris, rays) yields each
+                # winner's attributes.
                 pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
-                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8), NCHAN), :]
-                # HIGHEST: default MXU precision would truncate the selected
-                # normals/materials to bf16 (pick itself is exact 0/1).
-                sel = jnp.dot(chan, pick,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)  # (NCHAN, rays)
+                if geom in ("mxu_f6", "mxu_f3"):
+                    # Attribute block stored as the three bf16 components
+                    # [h; m; l] — an EXACT decomposition (24 mantissa bits =
+                    # 3 x 8, and h+m, m+l, and the total are all exactly
+                    # representable, so the f32 accumulation reconstructs the
+                    # original attribute bit-for-bit). One default-precision
+                    # dot (pick is exact 0/1), thirds summed.
+                    cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
+                                          3 * NCHAN), :]
+                    sel3 = jax.lax.dot_general(
+                        cblk, pick, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
+                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                else:
+                    chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                          NCHAN), :]
+                    # HIGHEST: default MXU precision would truncate the
+                    # selected normals/materials to bf16.
+                    sel = jnp.dot(chan, pick,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
                 # Exact t and barycentrics of the winner (removes the key
                 # truncation): one masked reduce each. Barycentrics from the
                 # edge values: u = e20/sum, v = e01/sum.
@@ -459,6 +752,16 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                         closer, val, S[1 + oc_i:2 + oc_i, ls])
                 S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
 
+        # Direction-ordered traversal: clusters (and pages of clusters) are
+        # Morton-ordered, so ascending index sweeps the scene roughly along
+        # the +x+y+z diagonal. Visiting them along each tile's marching
+        # direction makes hits land EARLY, and the per-cluster best-t
+        # re-gate then prunes everything behind the first hit. Both bit
+        # packings cost a handful of VPU ops; a scalar select picks one, so
+        # no pass chain is duplicated. (Binned tiles are octant-pure, which
+        # is what makes a single per-tile direction meaningful.)
+        desc = (jnp.sum(rdx) + jnp.sum(rdy) + jnp.sum(rdz)) < 0
+
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
             bmin = tuple(_col(cref[g, :].reshape(1, PAGE))
@@ -467,36 +770,125 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox,
                          for cref in (cxmax_ref, cymax_ref, czmax_ref))
             cl_hit = _outer_aabb(ro, inv, bmin, bmax, best_t())  # (128, TILE)
             flags = jnp.any(cl_hit, axis=1, keepdims=True)        # (128, 1)
-            words = _pack_flags_col(flags, sub_col)
+            words_a = _pack_flags_col(flags, sub_col)
+            words_d = _pack_flags_col(flags, PAGE - 1 - sub_col)
             for w in range(4):
+                word = jnp.where(desc, words_d[w], words_a[w])
                 _for_set_bits(
-                    words[w],
-                    lambda dc, w=w: cluster_pass(g * PAGE + w * 32 + dc))
+                    word,
+                    lambda dc, w=w: cluster_pass(
+                        g * PAGE + jnp.where(desc, PAGE - 1 - (w * 32 + dc),
+                                             w * 32 + dc)))
 
-        # Page-level culling: one (pages, rays) block over all page AABBs,
-        # pruned by the seeded best-t (ground/sphere hits and dead rays
-        # eliminate pages before any cluster work happens).
-        pg_bmin = tuple(_col(pgb_ref[a, :].reshape(1, MAX_PAGES))
-                        for a in range(3))
-        pg_bmax = tuple(_col(pgb_ref[3 + a, :].reshape(1, MAX_PAGES))
-                        for a in range(3))
+        # Page-level culling: one (pages, rays) block over the page AABBs —
+        # stored as narrow (PW, 1) columns with PW = pages rounded up to the
+        # sublane quantum, so a 7-page scene pays for an (8, rays) slab test
+        # rather than a MAX_PAGES-wide one. Pruned by the seeded best-t
+        # (ground/sphere hits and dead rays eliminate pages before any
+        # cluster work happens).
+        pg_bmin = (pgx0_ref[:], pgy0_ref[:], pgz0_ref[:])
+        pg_bmax = (pgx1_ref[:], pgy1_ref[:], pgz1_ref[:])
         pg_hit = _outer_aabb(ro, inv, pg_bmin, pg_bmax, best_t())
         pg_flags = jnp.any(pg_hit, axis=1, keepdims=True)
-        pg_words = _pack_flags_col(pg_flags, sub_col)
-        for w in range(4):
-            if w * 32 >= n_pages:
-                break
-            _for_set_bits(pg_words[w], lambda dg, w=w: page_pass(w * 32 + dg))
+        PW = pg_flags.shape[0]
+        sub_pg = jax.lax.broadcasted_iota(jnp.int32, (PW, 1), 0)
+        pgw_a = _pack_flags_col(pg_flags, sub_pg)
+        pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
+        for w in range(len(pgw_a)):
+            word = jnp.where(desc, pgw_d[w], pgw_a[w])
+            _for_set_bits(
+                word,
+                lambda dg, w=w: page_pass(
+                    jnp.where(desc, PW - 1 - (w * 32 + dg), w * 32 + dg)))
 
-    for r in range(ROWS):
+    for r in range(A.shape[1] // TILE):
         row_body(r)
 
-    OUT = S[:]                               # (16, BLOCK)
-    if bin_rays:
-        OUT = _permute_exact(OUT, P, 1)      # inverse: back to ray order
-    out_t_ref[0] = OUT[0:1, :]
-    for c, oc in enumerate(out_chans):
-        oc[0] = OUT[1 + c:2 + c, :]
+
+def _rows3(ref_or_val, r0):
+    return (ref_or_val[r0:r0 + 1, :], ref_or_val[r0 + 1:r0 + 2, :],
+            ref_or_val[r0 + 2:r0 + 3, :])
+
+
+def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
+    """Seed S with the nearest ground/sphere candidate (rows 0-13).
+
+    A: (8, B) ray matrix (possibly permuted). Dead rays get best-t 0 so every
+    later culling test fails. Triangle passes then only overwrite rows where
+    they beat this seed — the kernel's final S rows ARE the merged hit.
+    """
+    B = A.shape[1]
+    ro = _rows3(A, 0)
+    rd = _rows3(A, 3)
+    zero = jnp.zeros((1, B), jnp.float32)
+    one = zero + 1.0
+
+    # Ground plane y == 0 (compute:156-172).
+    dy = rd[1]
+    safe_dy = jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+    tg = -ro[1] / safe_dy
+    tg = jnp.where((tg > 0) & (gmisc[0:1, :] > 0), tg, _F32_MAX)
+
+    # Spheres: (Sp, B) broadcast quadratic (compute:175-196) — (Sp, 1)
+    # sphere columns against (1, B) ray rows.
+    ocx = ro[0] - scx
+    ocy = ro[1] - scy
+    ocz = ro[2] - scz
+    p1 = -(rd[0] * ocx + rd[1] * ocy + rd[2] * ocz)
+    p2sqr = p1 * p1 - (ocx * ocx + ocy * ocy + ocz * ocz) + sr * sr
+    p2 = jnp.sqrt(jnp.maximum(p2sqr, 0.0))
+    t_near = p1 - p2
+    ts = jnp.where(t_near > 0, t_near, p1 + p2)
+    ts = jnp.where((p2sqr >= 0) & (ts > 0), ts, _F32_MAX)   # (Sp, B)
+
+    # Winner sphere via the pack-index-into-mantissa min (Sp <= 128).
+    Sp = ts.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 0)
+    mask = jnp.int32(127)
+    key = jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(ts, jnp.int32), ~mask),
+        sub)
+    wk = jnp.min(key, axis=0, keepdims=True)                 # (1, B)
+    pick = (key == wk).astype(jnp.float32)                   # (Sp, B)
+    sel = jax.lax.dot_general(sattr[:, :], pick, (((1,), (0,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)  # (16, B)
+    ts_min = jnp.sum(jnp.where(pick > 0, ts, 0.0), axis=0, keepdims=True)
+
+    sphere_wins = ts_min < tg                                # tie -> ground
+    t_ns = jnp.where(sphere_wins, ts_min, tg)
+    hit_ns = t_ns < _F32_MAX * 0.5
+
+    # Normals: ground (0,1,0); sphere normalize(pos - center).
+    px = ro[0] + t_ns * rd[0]
+    py = ro[1] + t_ns * rd[1]
+    pz = ro[2] + t_ns * rd[2]
+    nx = px - sel[10:11, :]
+    ny = py - sel[11:12, :]
+    nz = pz - sel[12:13, :]
+    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+
+    def pick_chan(s_row, g_row):
+        return jnp.where(hit_ns,
+                         jnp.where(sphere_wins, s_row, g_row), 0.0)
+
+    chans = [
+        pick_chan(nx * inv_len, zero),            # normal
+        pick_chan(ny * inv_len, one),
+        pick_chan(nz * inv_len, zero),
+    ]
+    for k in range(3):
+        chans.append(pick_chan(sel[k:k + 1, :], gmisc[1 + k:2 + k, :]))
+    for k in range(3):
+        chans.append(pick_chan(sel[3 + k:4 + k, :], gmisc[4 + k:5 + k, :]))
+    for k in range(3):
+        chans.append(pick_chan(sel[6 + k:7 + k, :], gmisc[7 + k:8 + k, :]))
+    chans.append(pick_chan(sel[9:10, :], gmisc[10:11, :]))   # smoothness
+
+    S[0:1, :] = jnp.where(alive_row > 0, jnp.minimum(t_ns, _F32_MAX), 0.0)
+    for i, ch in enumerate(chans):
+        S[1 + i:2 + i, :] = ch
+    S[14:16, :] = jnp.zeros((2, B), jnp.float32)
 
 
 @struct.dataclass
@@ -508,8 +900,11 @@ class PallasAccel:
     the efficient batch.
     """
 
-    pgb: jnp.ndarray                 # (8, MAX_PAGES) page bounds rows
+    pgb: Tuple[jnp.ndarray, ...]     # 6 x (PW, 1) page bound columns
+                                     # (min xyz, max xyz; PW = pages % 8)
     cl_cols: Tuple[jnp.ndarray, ...]  # 6 x (G, PAGE) cluster bounds
+    cb_rows: Tuple[jnp.ndarray, ...]  # 6 x (Cp, TILE) lane-broadcast cluster
+                                      # bounds (per-cluster re-gate rows)
     epluck: jnp.ndarray              # (Cp*8, 3*KSIZE) edge Pluecker coeffs:
                                      # rows 0-5 = (moment xyz, dir xyz) for
                                      # edges v0v1 | v1v2 | v2v0 (lane-major)
@@ -522,14 +917,96 @@ class PallasAccel:
     # origin-cell key quantizes against these (baked at prep, not traced).
     bbox: Tuple[float, ...] = struct.field(
         pytree_node=False, default=(0., 0., 0., 1., 1., 1.))
+    # Geometry numeric backend this accel was packed for (see GEOM_MODE):
+    # the fused-split modes store epluck/eplane/chan as three stacked bf16
+    # component groups (24 / 24 / 72 rows per cluster).
+    geom: str = struct.field(pytree_node=False, default="mxu_highest")
+    # Optional ground+sphere blocks for the full-path megakernel
+    # (ops/pallas_path.py): (scx, scy, scz, sr) as (Sp, 1) columns, the
+    # (16, Sp) per-sphere attribute block [albedo3, specular3, emission3,
+    # smoothness, center xyz], and the (16, 1) ground block
+    # [enabled, albedo3, specular3, emission3, smoothness]. None when the
+    # accel was prepared without a scene.
+    gs: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
-def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
+def _split_rows(blocks: np.ndarray, n_terms: int) -> np.ndarray:
+    """Host-side bf16 component split of per-cluster blocks.
+
+    blocks: (C, R, L) f32. Returns (C * n_terms * R, L) f32 where each
+    cluster's rows become n_terms stacked groups [h; m; (l)] of
+    bf16-representable values with h + m (+ l) ~= x (exact for n_terms=3 up
+    to the last bf16 rounding; ~2^-18 relative for n_terms=2).
+    """
+    import ml_dtypes
+
+    def bf(x):
+        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    h = bf(blocks)
+    r = blocks - h
+    m = bf(r)
+    groups = [h, m]
+    if n_terms == 3:
+        groups.append(bf(r - m))
+    out = np.concatenate(groups, axis=1)          # (C, n_terms*R, L)
+    return np.ascontiguousarray(out.reshape(-1, blocks.shape[2]))
+
+
+def _prepare_ground_spheres(scene) -> Tuple[np.ndarray, ...]:
+    """Pack ground plane + spheres into megakernel blocks (host-side).
+
+    Reference behaviors folded in: IntersectGroundPlane (compute:156-172)
+    and IntersectSphere (compute:175-196) — the megakernel runs both
+    in-kernel so no per-bounce XLA candidate/combine work remains.
+    """
+    sp = scene.spheres
+    mats = scene.materials
+    S = int(sp.count)
+    Sp = max(8, ((S + 7) // 8) * 8)
+    if S > 128:
+        raise ValueError("megakernel sphere block caps at 128 spheres; "
+                         "use the per-bounce path for larger sphere sets")
+    center = np.zeros((Sp, 3), np.float32)
+    radius = np.zeros((Sp,), np.float32)
+    if S:
+        center[:S] = np.asarray(sp.center, np.float32)
+        radius[:S] = np.asarray(sp.radius, np.float32)
+    center[S:] = 1.0e30      # padded spheres: r=0 far away -> never hit
+    cols = tuple(np.ascontiguousarray(center[:, k:k + 1]) for k in range(3))
+    sr = np.ascontiguousarray(radius[:, None])
+
+    sattr = np.zeros((16, Sp), np.float32)
+    if S:
+        mid = np.asarray(sp.material_id, np.int64)[:S]
+        alb = np.asarray(mats.albedo, np.float32)[mid]
+        spc = np.asarray(mats.specular, np.float32)[mid]
+        emi = np.asarray(mats.emission, np.float32)[mid]
+        smo = np.asarray(mats.smoothness, np.float32)[mid]
+        sattr[0:3, :S] = alb.T
+        sattr[3:6, :S] = spc.T
+        sattr[6:9, :S] = emi.T
+        sattr[9, :S] = smo
+        sattr[10:13, :S] = center[:S].T
+
+    gmisc = np.zeros((16, 1), np.float32)
+    gid = int(np.asarray(scene.ground_material_id))
+    gmisc[0, 0] = float(np.asarray(scene.ground_enabled))
+    gmisc[1:4, 0] = np.asarray(mats.albedo, np.float32)[gid]
+    gmisc[4:7, 0] = np.asarray(mats.specular, np.float32)[gid]
+    gmisc[7:10, 0] = np.asarray(mats.emission, np.float32)[gid]
+    gmisc[10, 0] = float(np.asarray(mats.smoothness)[gid])
+    return cols + (sr, sattr, gmisc)
+
+
+def prepare_pallas_accel(accel: ClusterAccel, materials=None,
+                         scene=None) -> PallasAccel:
     """Regroup a ClusterAccel into kernel geometry (host-side, not jittable).
 
     ``materials``: the scene Materials table; per-triangle shading attributes
     are baked into the packed channel block so the kernel can output complete
-    hit records without any XLA-side gathers.
+    hit records without any XLA-side gathers. ``scene``: when given, ground +
+    sphere blocks for the full-path megakernel are packed too.
     """
     tr = accel.triangles
     v0 = np.asarray(tr.v0)
@@ -573,14 +1050,30 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
     page_real = has_real.reshape(G, PAGE).any(axis=1)
     pvmin = np.where(page_real[:, None], pvmin, _PAD_BOX)
     pvmax = np.where(page_real[:, None], pvmax, _PAD_BOX)
-    pgb = np.full((8, MAX_PAGES), _PAD_BOX, np.float32)
-    pgb[0:3, :G] = pvmin.T
-    pgb[3:6, :G] = pvmax.T
+    # Page bounds as six narrow (PW, 1) columns, PW = pages rounded up to the
+    # sublane quantum: the kernel's page slab test then scales with the REAL
+    # page count (an (8, rays) test for a 7-page scene) instead of MAX_PAGES.
+    PW = max(8 * ((G + 7) // 8), 8)
+    pgb = []
+    for src, k in [(pvmin, 0), (pvmin, 1), (pvmin, 2),
+                   (pvmax, 0), (pvmax, 1), (pvmax, 2)]:
+        col = np.full((PW, 1), _PAD_BOX, np.float32)
+        col[:G, 0] = src[:, k]
+        pgb.append(col)
+    pgb = tuple(pgb)
 
     cl_cols = tuple(np.ascontiguousarray(cvmin[:, k].reshape(G, PAGE))
                     for k in range(3)) \
         + tuple(np.ascontiguousarray(cvmax[:, k].reshape(G, PAGE))
                 for k in range(3))
+    # Lane-broadcast copies of the same bounds ((Cp, TILE) rows): the
+    # per-cluster best-t re-gate reads row c elementwise against the rays
+    # (dynamic indexing is sublane-only on TPU, so the (G, PAGE) lane-major
+    # layout above cannot serve per-cluster lookups).
+    cb_rows = tuple(np.ascontiguousarray(
+        np.repeat(arr[:, k:k + 1], TILE, axis=1))
+        for arr, k in ((cvmin, 0), (cvmin, 1), (cvmin, 2),
+                       (cvmax, 0), (cvmax, 1), (cvmax, 2)))
 
     # Edge Pluecker coefficient blocks: e(edge, ray) = dir_e . (o x d)
     #                                               + moment_e . d
@@ -640,16 +1133,27 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None) -> PallasAccel:
         lo, hi = np.zeros(3), np.ones(3)
     bbox = tuple(float(x) for x in np.concatenate([lo, hi]))
 
+    if GEOM_MODE in ("mxu_f6", "mxu_f3"):
+        # Pre-split each per-cluster block into bf16-exact component groups
+        # stacked along the sublane axis ([h; m; l] per cluster), so the
+        # kernel's fused default-precision dots see only bf16-representable
+        # f32 operands (see the GEOM_MODE comment at the top).
+        epluck = _split_rows(epluck.reshape(Cp, 8, 3 * KSIZE), 3)
+        eplane = _split_rows(eplane.reshape(Cp, 8, KSIZE), 3)
+        chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
+
     # Host numpy leaves; callers device_put the pytree once per scene build.
-    return PallasAccel(pgb=pgb, cl_cols=cl_cols, epluck=epluck,
-                       eplane=eplane, chan=chan, n_pages=G, bbox=bbox)
+    gs = _prepare_ground_spheres(scene) if scene is not None else None
+    return PallasAccel(pgb=pgb, cl_cols=cl_cols, cb_rows=cb_rows,
+                       epluck=epluck, eplane=eplane, chan=chan,
+                       n_pages=G, bbox=bbox, geom=GEOM_MODE, gs=gs)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
 
 
 def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
-                           bin_rays: bool = False):
+                           bin_rays: bool = False, merged: bool = False):
     """Run the kernel over all rays. ro/rd: Vec3 of (N,), N % BLOCK == 0.
 
     ``seed``: (N,) best-t upper bound per ray (non-triangle candidate hit
@@ -657,12 +1161,23 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
     in-kernel coherence sort (use on incoherent bounces; bit-identical
     results either way).
 
+    ``merged``: ground + spheres run in-kernel (pa.gs blocks) and the
+    outputs are the COMPLETE merged hit — seed then only carries the alive
+    sentinel (F32_MAX alive / 0 dead) and t == _F32_MAX marks a miss.
+
     Returns 14 (N,) arrays: t, nx, ny, nz, albedo rgb, specular rgb,
-    emission rgb, smoothness. t stays == seed where no triangle beat it.
+    emission rgb, smoothness. Without ``merged``, t stays == seed where no
+    triangle beat it.
     """
     pgb, cl_cols, n_pages = pa.pgb, pa.cl_cols, pa.n_pages
     N = ro[0].shape[0]
     n_steps = N // BLOCK
+    if merged:
+        gs = pa.gs
+    else:
+        # Placeholder blocks keep the kernel signature static.
+        gs = (jnp.zeros((8, 1), jnp.float32),) * 4 \
+            + (jnp.zeros((16, 8), jnp.float32), jnp.zeros((16, 1), jnp.float32))
 
     def comp(a):
         # Dense (n_steps, 1, BLOCK) wide-row layout: rays purely in the lane
@@ -681,20 +1196,22 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, BLOCK), jnp.float32)
                  for _ in range(N_OUTS)]
 
-    kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox)
+    kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox,
+                               pa.geom, merged)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[blk_spec] * 7 + [full()] * (1 + 6 + 3),
+        in_specs=[blk_spec] * 7 + [full()] * (6 + 6 + 6 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((16, BLOCK), jnp.float32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
-    )(*ray_in, pgb, *cl_cols, pa.epluck, pa.eplane, pa.chan)
+    )(*ray_in, *gs, *pgb, *cl_cols, *pa.cb_rows,
+      pa.epluck, pa.eplane, pa.chan)
 
     return tuple(o.reshape(N) for o in outs)
 
@@ -735,6 +1252,42 @@ def _triangle_pallas_candidate(pa: PallasAccel, ro, rd, interpret: bool,
                 smoothness=outs[13])
 
 
+def _merged_pallas_hit(pa: PallasAccel, ro, rd, alive, interpret: bool,
+                       bin_rays: bool) -> Hit:
+    """Complete hit record from ONE kernel call (ground + spheres + BVH
+    triangles merged in-kernel; replaces the XLA candidates + combine of the
+    reference's Trace, RayTraceShader.compute:364-383)."""
+    N = ro[0].shape[0]
+    if alive is None:
+        seed = jnp.full((N,), _F32_MAX, jnp.float32)
+    else:
+        seed = jnp.where(alive, _F32_MAX, 0.0)
+    pad = (-N) % BLOCK
+    if pad:
+        zpad = jnp.zeros((pad,), ro[0].dtype)
+        ro = tuple(jnp.concatenate([c, zpad]) for c in ro)
+        rd = (jnp.concatenate([rd[0], zpad]),
+              jnp.concatenate([rd[1], zpad - 1.0]),
+              jnp.concatenate([rd[2], zpad]))
+        seed = jnp.concatenate([seed, zpad])
+
+    outs = _pallas_triangle_trace(pa, ro, rd, seed, interpret, bin_rays,
+                                  merged=True)
+    outs = tuple(o[:N] for o in outs)
+    ro = tuple(c[:N] for c in ro)
+    rd = tuple(c[:N] for c in rd)
+    # Misses carry the F32_MAX sentinel; dead rays carry their zero seed —
+    # both report INF (the dead-ray case matters only for direct tracer
+    # calls; the renderer's alive mask already excludes them).
+    t = jnp.where((outs[0] >= _F32_MAX * 0.5) | (outs[0] <= 0.0), INF,
+                  outs[0])
+    tc = jnp.minimum(t, 1.0e30)   # keeps miss positions finite (0 * INF)
+    pos = (ro[0] + tc * rd[0], ro[1] + tc * rd[1], ro[2] + tc * rd[2])
+    return Hit(t=t, position=pos, normal=outs[1:4], albedo=outs[4:7],
+               specular=outs[7:10], emission=outs[10:13],
+               smoothness=outs[13])
+
+
 def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
     """Build ``fn(ro, rd) -> Hit`` using the fused kernel for triangles.
 
@@ -747,10 +1300,12 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
         # Host-side callers (tests) may hand the raw ClusterAccel; the
         # renderer's build_accel pre-packs a PallasAccel (prep is numpy,
         # illegal under jit).
-        accel = prepare_pallas_accel(accel, scene.materials)
+        accel = prepare_pallas_accel(accel, scene.materials, scene=scene)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     if accel is not None:
         accel = jax.tree_util.tree_map(jnp.asarray, accel)
+
+    merged = has_tris and accel is not None and accel.gs is not None
 
     def tracer(ro, rd, alive=None, bin_rays: bool = False) -> Hit:
         """ro/rd: Vec3 tuples of (N,); ``alive`` is an optional (N,) bool
@@ -758,6 +1313,11 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
         culling and triangle work (tile-granular wavefront compaction).
         ``bin_rays`` turns on the in-kernel coherence sort (incoherent
         bounces; results are bit-identical either way)."""
+        if merged:
+            # Ground + spheres fold into the kernel (accel carries the
+            # packed blocks): no XLA candidate/combine work per bounce.
+            return _merged_pallas_hit(accel, ro, rd, alive, interpret,
+                                      bin_rays)
         cands = [_ground_candidate(scene, ro, rd),
                  _sphere_candidate(scene, ro, rd)]
         if has_tris:

@@ -36,6 +36,22 @@ def tangent_frame(n: Vec3):
     return tangent, binormal
 
 
+def sample_hemisphere_ct(cos_t, cos_phi, sin_phi, axis: Vec3) -> Vec3:
+    """Hemisphere sample from precomputed cos(theta) and phi trig.
+
+    Split out so callers inside Pallas kernels can feed XLA-precomputed
+    trig (Mosaic's sin/cos/pow lower to slow generic polynomials, while the
+    trig of a UNIFORM is a pure function of it — computable once per frame
+    outside the kernel with the stream unchanged).
+    """
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    tangent, binormal = tangent_frame(axis)
+    ca, sa = cos_phi * sin_t, sin_phi * sin_t
+    return (tangent[0] * ca + binormal[0] * sa + axis[0] * cos_t,
+            tangent[1] * ca + binormal[1] * sa + axis[1] * cos_t,
+            tangent[2] * ca + binormal[2] * sa + axis[2] * cos_t)
+
+
 def sample_hemisphere(u1, u2, axis: Vec3, alpha) -> Vec3:
     """Power-cosine hemisphere sample about ``axis``.
 
@@ -45,13 +61,8 @@ def sample_hemisphere(u1, u2, axis: Vec3, alpha) -> Vec3:
     clamp zeroes those, as in the reference.
     """
     cos_t = jnp.power(jnp.maximum(u1, 1e-12), 1.0 / (alpha + 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     phi = 2.0 * PI * u2
-    tangent, binormal = tangent_frame(axis)
-    ca, sa = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
-    return (tangent[0] * ca + binormal[0] * sa + axis[0] * cos_t,
-            tangent[1] * ca + binormal[1] * sa + axis[1] * cos_t,
-            tangent[2] * ca + binormal[2] * sa + axis[2] * cos_t)
+    return sample_hemisphere_ct(cos_t, jnp.cos(phi), jnp.sin(phi), axis)
 
 
 def sample_unit_disk(u1, u2):

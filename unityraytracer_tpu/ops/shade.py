@@ -15,6 +15,7 @@ the idiomatic form of the reference's if/else chain.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
@@ -183,7 +184,7 @@ def sample_skybox_rgbe(skybox, rd: Vec3, bilinear: bool = True,
     return tuple(out)
 
 
-def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, uniforms):
+def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, uniforms, trig=None):
     """One bounce of the reference BRDF (environment handled by the caller).
 
     The reference samples the skybox inside Shade on miss (compute:424-426);
@@ -197,6 +198,11 @@ def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, uniforms):
       energy: Vec3 of (N,) path throughput before this bounce.
       hit: Hit SoA (t >= MISS_T marks skybox rays).
       uniforms: 3-tuple of (N,) independent U[0,1) samples (roulette, u1, u2).
+      trig: optional (log2_u1, cos_phi, sin_phi) precomputed from u1/u2 —
+        used by the Pallas megakernel, where Mosaic's pow/sin/cos are slow
+        generic lowerings; the stream is unchanged because each is a pure
+        function of the same uniform (alpha's power also becomes a native
+        exp2 in this mode, equal to within float op-order noise).
 
     Returns:
       (new_ro, new_rd, new_energy, radiance, missed): radiance is this
@@ -221,19 +227,34 @@ def shade(ro: Vec3, rd: Vec3, energy: Vec3, hit: Hit, uniforms):
     is_spec = (total > 0) & (u_roulette < spec_chance)
     is_diff = (total > 0) & ~is_spec & (diff_chance > 0)
 
-    # Specular lobe: Phong alpha = 1000^(s^2) (compute:399-406).
-    alpha = jnp.power(1000.0, hit.smoothness * hit.smoothness)
+    # Specular lobe: Phong alpha = 1000^(s^2) (compute:399-406). Each lane
+    # commits to ONE lobe, so the sample axis (reflection vs normal) and the
+    # lobe exponent are where-BLENDED before a single hemisphere evaluation
+    # — per lane this computes exactly the value the chosen lobe would
+    # (diffuse = power-1 about the normal, compute:407-411), at half the
+    # tangent-frame/trig work of evaluating both lobes.
     refl = vec.reflect(rd, n)
-    dir_spec = sample_hemisphere(u1, u2, refl, alpha)
+    axis = vec.where(is_spec, refl, n)
+    if trig is None:
+        alpha = jnp.power(1000.0, hit.smoothness * hit.smoothness)
+        new_dir = sample_hemisphere(u1, u2, axis,
+                                    jnp.where(is_spec, alpha, 1.0))
+    else:
+        from .sampling import sample_hemisphere_ct
+
+        log2_u1, cos_phi, sin_phi = trig
+        s2 = hit.smoothness * hit.smoothness
+        alpha = jnp.exp2(s2 * jnp.float32(np.log2(1000.0)))
+        cos_t = jnp.exp2(log2_u1 / jnp.where(is_spec, alpha + 1.0, 2.0))
+        new_dir = sample_hemisphere_ct(cos_t, cos_phi, sin_phi, axis)
     f = (alpha + 2.0) / (alpha + 1.0)
-    w_spec_s = vec.sdot(n, dir_spec, f) / jnp.maximum(spec_chance, 1e-8)
+    w_spec_s = vec.sdot(n, new_dir, f) / jnp.maximum(spec_chance, 1e-8)
     w_spec = vec.scale(hit.specular, w_spec_s)
 
-    # Diffuse lobe (compute:407-411): power-1 hemisphere about the normal.
-    dir_diff = sample_hemisphere(u1, u2, n, 1.0)
+    # Diffuse lobe weight (compute:407-411).
     w_diff = vec.scale(albedo, 1.0 / jnp.maximum(diff_chance, 1e-8))
 
-    new_rd = vec.where(is_spec, dir_spec, dir_diff)
+    new_rd = new_dir
     lobe_w = vec.where(is_spec, w_spec,
                        vec.where(is_diff, w_diff, vec.splat((0., 0., 0.), u1)))
     # Bounce origin bias (compute:402,409).

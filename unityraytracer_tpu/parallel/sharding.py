@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..camera import Camera
 from ..config import RenderConfig
-from ..render import RenderState, get_tracer, render_sample
+from ..render import RenderState, get_tracer, render_frame, render_sample
 from ..scene import Scene
 
 AXIS = "devices"
@@ -72,9 +72,8 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
         def local_step(accum, n_samples, scene, camera, accel, key):
             dev = jax.lax.axis_index(AXIS)
             key = jax.random.fold_in(key, dev)  # independent stream per tile
-            tracer = get_tracer(scene, cfg, accel)
-            frame = render_sample(scene, tracer, camera, key, cfg,
-                                  row0=dev * h_local, rows=h_local)
+            frame = render_frame(scene, cfg, camera, key, accel,
+                                 row0=dev * h_local, rows=h_local)
             n = n_samples.astype(jnp.float32)
             accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)
             return accum, n_samples + 1
@@ -84,8 +83,7 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
         def local_step(accum, n_samples, scene, camera, accel, key):
             dev = jax.lax.axis_index(AXIS)
             key = jax.random.fold_in(key, dev)
-            tracer = get_tracer(scene, cfg, accel)
-            frame = render_sample(scene, tracer, camera, key, cfg)
+            frame = render_frame(scene, cfg, camera, key, accel)
             frame = jax.lax.pmean(frame, AXIS)  # the only collective
             n = n_samples.astype(jnp.float32)
             accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)

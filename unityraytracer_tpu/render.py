@@ -211,6 +211,119 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     return img
 
 
+def render_sample_mega(scene: Scene, accel, camera: Camera, key,
+                       cfg: RenderConfig, row0: int = 0,
+                       rows: Optional[int] = None,
+                       interpret: Optional[bool] = None) -> jnp.ndarray:
+    """``render_sample`` through the full-path megakernel (ops/pallas_path).
+
+    Same signature semantics and the SAME threefry uniform streams as the
+    bounce-loop path, so images agree to float op-order noise — but every
+    bounce (trace + ground/spheres + shade + roulette) runs inside one Pallas
+    dispatch with per-step path state resident in VMEM.
+    """
+    from .ops.pallas_path import path_trace
+    from .ops.pallas_trace import prepare_pallas_accel, PallasAccel
+    from .ops.bvh import ClusterAccel
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if isinstance(accel, ClusterAccel):  # host-side convenience (tests)
+        accel = prepare_pallas_accel(accel, scene.materials, scene=scene)
+    assert isinstance(accel, PallasAccel) and accel.gs is not None, (
+        "megakernel needs a PallasAccel prepared with scene=...")
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    accel = jax.tree_util.tree_map(jnp.asarray, accel)
+
+    H, W, spp = cfg.height, cfg.width, cfg.spp
+    h = H if rows is None else rows
+    N = h * W * spp
+
+    k_jit, k_lens, k_bounce = jax.random.split(key, 3)
+    px = jnp.broadcast_to(jnp.arange(W)[None, None, :], (spp, h, W))
+    py = jnp.broadcast_to((H - 1 - (row0 + jnp.arange(h)))[None, :, None],
+                          (spp, h, W))
+    jx = jax.random.uniform(jax.random.fold_in(k_jit, 0), (spp, h, W))
+    jy = jax.random.uniform(jax.random.fold_in(k_jit, 1), (spp, h, W))
+    u = ((px.astype(jnp.float32) + jx) / W * 2.0 - 1.0).reshape(N)
+    v = ((py.astype(jnp.float32) + jy) / H * 2.0 - 1.0).reshape(N)
+    lu1 = jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,))
+    lu2 = jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,))
+    lens_u, lens_v = sample_unit_disk(lu1, lu2)
+    ro, rd = camera_rays_soa(camera, u, v, lens_u, lens_v)
+
+    blocked = h % 8 == 0 and W % 16 == 0
+    if blocked:
+        def to_blocks(a):
+            return (a.reshape(spp, h // 8, 8, W // 16, 16)
+                    .transpose(0, 1, 3, 2, 4).reshape(N))
+
+        ro = tuple(to_blocks(c.reshape(spp, h, W)) for c in ro)
+        rd = tuple(to_blocks(c.reshape(spp, h, W)) for c in rd)
+    else:
+        def to_blocks(a):
+            return a
+
+    def uniform(key_):
+        # Pixel-order draw, permuted with the rays (render_sample rationale).
+        return to_blocks(jax.random.uniform(key_, (N,)))
+
+    # Per-bounce uniform rows, pre-transformed for the kernel: Mosaic's
+    # pow/sin/cos lowerings are slow, but log2(u1) / cos(2*pi*u2) /
+    # sin(2*pi*u2) are pure functions of the SAME threefry draws — computed
+    # here by the SAME XLA ops the bounce-loop path uses, keeping the
+    # megakernel's estimator stream-identical to the oracle's.
+    def bounce_rows(b):
+        kb = jax.random.fold_in(k_bounce, b)
+        u_r, u1, u2, u_rr = (uniform(jax.random.fold_in(kb, i))
+                             for i in range(4))
+        two_pi = 2.0 * 3.14159265
+        return jnp.stack([u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
+                          jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr],
+                         axis=0)
+
+    uni = jnp.stack([bounce_rows(b) for b in range(cfg.bounces)],
+                    axis=0)                            # (bounces, 5, N)
+
+    radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni, cfg, interpret)
+
+    if cfg.sky_rgbe:
+        ks = jax.random.fold_in(k_bounce, cfg.bounces)
+        su1 = uniform(jax.random.fold_in(ks, 0))
+        su2 = uniform(jax.random.fold_in(ks, 1))
+        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
+                                 packed=scene.skybox_rgbe)
+    else:
+        sky = sample_skybox(scene.skybox, sky_d)
+    radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
+
+    if blocked:
+        def from_blocks(a):
+            return (a.reshape(spp, h // 8, W // 16, 8, 16)
+                    .transpose(0, 1, 3, 2, 4).reshape(spp, h, W))
+
+        radiance = tuple(from_blocks(c) for c in radiance)
+    img = jnp.stack([c.reshape(spp, h, W).mean(axis=0) for c in radiance],
+                    axis=-1)
+    return img
+
+
+def render_frame(scene: Scene, cfg: RenderConfig, camera: Camera, key,
+                 accel=None, row0: int = 0, rows: Optional[int] = None
+                 ) -> jnp.ndarray:
+    """One sample frame via the best path for cfg: the megakernel when the
+    tracer is Pallas (cfg.megakernel), the generic bounce loop otherwise."""
+    from .ops.pallas_trace import PallasAccel
+
+    if (cfg.tracer == "pallas" and getattr(cfg, "megakernel", False)
+            and isinstance(accel, PallasAccel) and accel.gs is not None):
+        return render_sample_mega(scene, accel, camera, key, cfg,
+                                  row0=row0, rows=rows)
+    tracer = get_tracer(scene, cfg, accel)
+    return render_sample(scene, tracer, camera, key, cfg, row0=row0,
+                         rows=rows)
+
+
 def progressive_step(state: RenderState, frame: jnp.ndarray) -> RenderState:
     """Running mean with weight 1/(N+1) (AdditionShader.shader:40)."""
     n = state.n_samples.astype(jnp.float32)
@@ -245,11 +358,20 @@ class Renderer:
     def _build_step(self):
         cfg = self.config
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state, scene, camera, accel, key):
-            tracer = get_tracer(scene, cfg, accel)
-            frame = render_sample(scene, tracer, camera, key, cfg)
-            return progressive_step(state, frame)
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+        def step(state, scene, camera, accel, key, n_frames=1):
+            def body(i, st):
+                # Keyed by absolute sample index within the block.
+                sub = jax.random.fold_in(key, st.n_samples)
+                frame = render_frame(scene, cfg, camera, sub, accel)
+                return progressive_step(st, frame)
+
+            # n_frames > 1 runs the whole block INSIDE one jit dispatch
+            # (lax.fori_loop): through a remote-execution tunnel, per-step
+            # dispatch costs hundreds of ms — one fused dispatch amortizes it
+            # across the block (the reference re-dispatches per frame,
+            # RayTraceMaster.cs:806-810; a TPU frame driver need not).
+            return jax.lax.fori_loop(0, n_frames, body, state)
 
         return step
 
@@ -277,16 +399,24 @@ class Renderer:
         self.reset()
 
     # -- stepping --------------------------------------------------------------
-    def step(self, n_frames: int = 1) -> "Renderer":
+    def step(self, n_frames: int = 1, fused: bool = True) -> "Renderer":
         """Advance the progressive render; records fetch-timed throughput in
-        ``self.stats`` (the per-frame Mrays/s counter the reference lacks)."""
+        ``self.stats`` (the per-frame Mrays/s counter the reference lacks).
+
+        ``fused=True`` advances all ``n_frames`` inside ONE jitted dispatch
+        (one fori_loop; recompiles per distinct n_frames)."""
         import time as _time
 
         t0 = _time.perf_counter()
-        for _ in range(n_frames):
+        if fused:
             self._key, sub = jax.random.split(self._key)
             self.state = self._compiled(self.state, self.scene, self.camera,
-                                        self.accel, sub)
+                                        self.accel, sub, n_frames)
+        else:
+            for _ in range(n_frames):
+                self._key, sub = jax.random.split(self._key)
+                self.state = self._compiled(self.state, self.scene,
+                                            self.camera, self.accel, sub, 1)
         # One fetch synchronizes the chain (block_until_ready does not block
         # through remote execution tunnels).
         np.asarray(jax.device_get(self.state.n_samples))
@@ -314,7 +444,7 @@ class Renderer:
             for _ in range(n_frames):
                 self._key, sub = jax.random.split(self._key)
                 self.state = self._compiled(self.state, self.scene,
-                                            self.camera, self.accel, sub)
+                                            self.camera, self.accel, sub, 1)
             return self.state
 
         prof = profile_stages(run)
@@ -325,6 +455,17 @@ class Renderer:
     def image(self) -> np.ndarray:
         """Current converged image, (H, W, 3) linear float32, row 0 = top."""
         return np.asarray(jax.device_get(self.state.accum))
+
+    def denoised_image(self, iterations: int = 3,
+                       sigma_color: float = 0.1) -> np.ndarray:
+        """Edge-preserving a-trous denoise of the current accumulator
+        (utils/denoise.py) — preview tool the reference lacks; the
+        progressive mean itself stays untouched/unbiased."""
+        from .utils.denoise import atrous_denoise
+
+        return np.asarray(jax.device_get(
+            jax.jit(atrous_denoise, static_argnums=(1,))(
+                self.state.accum, iterations, sigma_color)))
 
     @property
     def sample_count(self) -> int:
