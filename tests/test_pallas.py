@@ -108,8 +108,8 @@ def test_prepare_pallas_accel_shapes():
     Cp = G * 128
     # Fused-split geometry modes store 3 bf16 component groups per cluster
     # (and 2 for the attribute block); the other modes store plain f32 rows.
-    egroups = 3 if pa.geom in ("mxu_f6", "mxu_f3") else 1
-    cgroups = 3 if pa.geom in ("mxu_f6", "mxu_f3") else 1
+    egroups = 3 if pa.geom in ("mxu_f6", "mxu_f3", "mxu_pf3") else 1
+    cgroups = 3 if pa.geom in ("mxu_f6", "mxu_f3", "mxu_pf3") else 1
     assert pa.epluck.shape == (Cp * 8 * egroups, 3 * 128)
     assert pa.eplane.shape == (Cp * 8 * egroups, 128)
     assert pa.chan.shape == (Cp * 24 * cgroups, 128)

@@ -100,6 +100,11 @@ NCHAN = 24          # packed per-triangle attribute rows (19 used, 8-aligned)
 #   "mxu_f3"       — the 3-product subset (hH+hM+mH, a k=24 dot): relative
 #                    error ~2^-17 per quantity (vs bf16's 2^-8 that broke
 #                    round 1) at half the f6 MAC count.
+#   "mxu_pf3"      — f3 with the triangle-side operand stored PRE-FUSED
+#                    ([h; h; m] rows, h duplicated): the kernel dots the
+#                    block straight out of VMEM with no per-pass concat.
+#                    Same memory as f6's [h; m; l] storage, same numerics
+#                    as f3 (bench-scene oracle RMSE 8.5e-7).
 # Measured on v5e (1080p/100k-tri/8-bounce frame, bf16-broken baseline
 # 485 ms): mxu_highest 697 ms (exact, oracle RMSE 2.6e-7), vpu 1049 ms
 # (exact; per-pass transposes dominate), hybrid 632 ms (REJECTED: bf16 edge
@@ -117,12 +122,36 @@ _PAD_BOX = 1.0e30   # far-away point box for padded clusters/pages
 # 128-ray tile). Perf instrumentation only; never enable for rendering.
 COUNT_PASSES = False
 
+# Perf probe (NEVER for rendering): winner epilogue reduced to the t update
+# (no exact t/u/v reduces, no attribute matmul, no channel writes).
+EPILOGUE_LITE = False
+# Perf bisect (NEVER for rendering): "full" | "no_reduce" (t from the packed
+# key, flat barycentrics) | "no_chan" (skip attribute matmul/blend/writes)
+# | "no_dot" (zero attributes, keep blend + writes).
+EPILOGUE_MODE = "full"
+
+# Attribute-block numeric path for the fused-split geometry modes:
+# "split3" = exact 3-component bf16 dot at DEFAULT ((3*NCHAN, K) operand);
+# "highest" = unsplit f32 block at Precision.HIGHEST ((NCHAN, K) operand —
+# a third of the dynamic-slice staging per hit pass, 6 internal passes).
+CHAN_MODE = "split3"
+
 # Re-test each cluster's AABB against the tile's CURRENT best-t immediately
 # before its triangle pass (a ~20-op (1, rays) slab on broadcast bound rows):
 # page-level culling gated on the best-t at page ENTRY, so every hit found
 # inside the page invalidates later clusters that the entry-time test let
-# through. Scalar skip => a pruned cluster costs nothing but the re-test.
-REGATE = True
+# through. Default OFF: with kd median-split clusters only ~2-7 clusters
+# are admitted per tile and the re-test costs more than it prunes
+# (interleaved A/B: +8 ms/frame on the 1080p bench).
+REGATE = False
+
+# Kernel hit-record scratch layout: (48, BLOCK) with every Vec3 channel at
+# an 8-ALIGNED row so the winner epilogue and the ground/sphere seeding
+# write whole (3, rays) blocks (Mosaic gives each row a sublane offset;
+# misaligned row-wise writes each pay an issue + relayout).
+SROWS = 48
+ROW_T, ROW_CNT, ROW_ADM = 0, 1, 2           # best-t, debug counters
+ROW_N, ROW_ALB, ROW_SPC, ROW_EMI, ROW_SMO = 8, 16, 24, 32, 40
 
 
 def _col(row):
@@ -454,7 +483,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
                             sattr_ref[:], gmisc_ref[:])
     else:
         S[:] = jnp.concatenate(
-            [A[6:7, :], jnp.zeros((15, BLOCK), jnp.float32)],
+            [A[6:7, :], jnp.zeros((SROWS - 1, BLOCK), jnp.float32)],
             axis=0)           # row 0 = best_t (seed-init)
 
     _trace_block(geom, n_pages, A, S,
@@ -464,13 +493,25 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
                  (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
                  epl_ref, epn_ref, chan_ref)
 
-    OUT = S[:]                               # (16, BLOCK)
+    OUT = _compact_hit(S)                    # (16, BLOCK)
     if bin_rays:
         OUT = _permute_exact(OUT, P, 1)      # inverse: back to ray order
     out_t_ref[0] = OUT[0:1, :]
     for c, oc in enumerate(out_chans):
-        src = 14 if (COUNT_PASSES and c == len(out_chans) - 1) else 1 + c
-        oc[0] = OUT[src:src + 1, :]
+        oc[0] = OUT[1 + c:2 + c, :]
+
+
+def _compact_hit(S):
+    """Gather the aligned SROWS hit scratch into the (16, BLOCK) record
+    [t, n(3), albedo(3), specular(3), emission(3), smoothness, pad(2)] —
+    with COUNT_PASSES the smoothness slot carries
+    survived + 1000 * admitted instead."""
+    last = (S[ROW_CNT:ROW_CNT + 1, :] + 1000.0 * S[ROW_ADM:ROW_ADM + 1, :]
+            if COUNT_PASSES else S[ROW_SMO:ROW_SMO + 1, :])
+    return jnp.concatenate(
+        [S[0:1, :], S[ROW_N:ROW_N + 3, :], S[ROW_ALB:ROW_ALB + 3, :],
+         S[ROW_SPC:ROW_SPC + 3, :], S[ROW_EMI:ROW_EMI + 3, :], last,
+         jnp.zeros((2, S.shape[1]), jnp.float32)], axis=0)
 
 
 def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
@@ -519,7 +560,7 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
                               zero_row, zero_row, zero_row, zero_row], axis=0)
         D4 = jnp.concatenate([rdx, rdy, rdz] + [zero_row] * 5, axis=0)
 
-        if geom in ("mxu_f6", "mxu_f3"):
+        if geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
             # Fused-split ray operands: stack the bf16 components along the
             # contraction dim, paired with the [h,h,m,(h,l,m)] triangle-side
             # groups, so ONE default-precision dot computes the 6 (or 3)
@@ -546,6 +587,9 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
             best-t, so clusters admitted at page entry are frequently dead by
             the time their turn comes — the scalar skip saves their dots.
             """
+            if COUNT_PASSES:
+                S[ROW_ADM:ROW_ADM + 1, ls] = \
+                    S[ROW_ADM:ROW_ADM + 1, ls] + 1.0  # admitted (pre-re-gate)
             if not REGATE:
                 return _cluster_body(c)
             row = pl.ds(c, 1)
@@ -577,15 +621,20 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
             v = e01/sum).
             """
             if COUNT_PASSES:
-                S[14:15, ls] = S[14:15, ls] + 1.0
-            if geom in ("mxu_f6", "mxu_f3"):
-                # Blocks are stored as three 8-row bf16-component groups
-                # [h; m; l]; stack them along the contraction dim to pair
-                # with the fused ray operands (see fuse_ray above).
+                S[ROW_CNT:ROW_CNT + 1, ls] = S[ROW_CNT:ROW_CNT + 1, ls] + 1.0
+            if geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
+                # Blocks are stored as three 8-row bf16-component groups —
+                # [h; m; l] for f6/f3 (stacked along the contraction dim per
+                # pass to pair with the fused ray operands), or PRE-FUSED
+                # [h; h; m] for pf3 (dotted straight from VMEM: the
+                # per-pass concat itself costs a measurable slice of the
+                # ~1.2k-cycle pass).
                 eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
                 pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
 
                 def fuse_tri(blk):
+                    if geom == "mxu_pf3":
+                        return blk
                     h, m, l = blk[0:8], blk[8:16], blk[16:24]
                     if geom == "mxu_f6":
                         return jnp.concatenate([h, h, m, h, l, m], axis=0)
@@ -692,13 +741,33 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
                 # fresh sentinel, which would let garbage through.
                 closer = (t_win < best_t()) & (t_win < _F32_MAX * 0.25)
 
+                if EPILOGUE_LITE:
+                    S[0:1, ls] = jnp.where(closer, t_win, S[0:1, ls])
+                    return
+
                 # Winner attribute selection: pick is one-hot over triangles
                 # for every ray column (lane bits make keys unique), so one
                 # MXU matmul of the packed per-cluster attribute block
                 # (NCHAN, tris) against pick (tris, rays) yields each
                 # winner's attributes.
                 pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
-                if geom in ("mxu_f6", "mxu_f3"):
+                if EPILOGUE_MODE in ("no_chan", "no_dot"):  # perf probe only
+                    sel = jnp.zeros((NCHAN, TILE), jnp.float32)
+                elif EPILOGUE_MODE == "static_chan":        # perf probe only
+                    sel3 = jax.lax.dot_general(
+                        chan_ref[0:3 * NCHAN, :], pick,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
+                        and CHAN_MODE != "split3":
+                    chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                          NCHAN), :]
+                    sel = jnp.dot(chan, pick,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
                     # Attribute block stored as the three bf16 components
                     # [h; m; l] — an EXACT decomposition (24 mantissa bits =
                     # 3 x 8, and h+m, m+l, and the total are all exactly
@@ -723,33 +792,43 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
                 # Exact t and barycentrics of the winner (removes the key
                 # truncation): one masked reduce each. Barycentrics from the
                 # edge values: u = e20/sum, v = e01/sum.
-                ssum = e01 + e12 + e20
-                inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
-                t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
-                                keepdims=True)
-                u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0), axis=0,
-                                keepdims=True)
-                v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0), axis=0,
-                                keepdims=True)
+                if EPILOGUE_MODE == "no_reduce":      # perf probe only
+                    t_sel = t_win
+                    u_sel = jnp.full_like(t_win, 0.33)
+                    v_sel = jnp.full_like(t_win, 0.33)
+                else:
+                    ssum = e01 + e12 + e20
+                    inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
+                    t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
+                                    keepdims=True)
+                    u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0),
+                                    axis=0, keepdims=True)
+                    v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0),
+                                    axis=0, keepdims=True)
                 w_sel = 1.0 - u_sel - v_sel
+                if EPILOGUE_MODE == "no_chan":        # perf probe only
+                    S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+                    return
                 # Smooth normal: barycentric blend of the winner's vertex
-                # normals (channels 0-8 are n0/n1/n2 xyz), normalized.
-                nx = (sel[0:1, :] * w_sel + sel[3:4, :] * u_sel
-                      + sel[6:7, :] * v_sel)
-                ny = (sel[1:2, :] * w_sel + sel[4:5, :] * u_sel
-                      + sel[7:8, :] * v_sel)
-                nz = (sel[2:3, :] * w_sel + sel[5:6, :] * u_sel
-                      + sel[8:9, :] * v_sel)
-                inv_len = jax.lax.rsqrt(
-                    jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-                new_vals = (nx * inv_len, ny * inv_len, nz * inv_len,
-                            sel[9:10, :], sel[10:11, :], sel[11:12, :],
-                            sel[12:13, :], sel[13:14, :], sel[14:15, :],
-                            sel[15:16, :], sel[16:17, :], sel[17:18, :],
-                            sel[18:19, :])
-                for oc_i, val in enumerate(new_vals):
-                    S[1 + oc_i:2 + oc_i, ls] = jnp.where(
-                        closer, val, S[1 + oc_i:2 + oc_i, ls])
+                # normals (channels 0-8 are n0/n1/n2 xyz), normalized, then
+                # written as ONE stacked (3, rays) block — as are the
+                # material channels (see the SROWS layout note).
+                n_new = (sel[0:3, :] * w_sel + sel[3:6, :] * u_sel
+                         + sel[6:9, :] * v_sel)
+                d2 = (n_new[0:1, :] * n_new[0:1, :]
+                      + n_new[1:2, :] * n_new[1:2, :]
+                      + n_new[2:3, :] * n_new[2:3, :])
+                n_new = n_new * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+                S[ROW_N:ROW_N + 3, ls] = jnp.where(
+                    closer, n_new, S[ROW_N:ROW_N + 3, ls])
+                S[ROW_ALB:ROW_ALB + 3, ls] = jnp.where(
+                    closer, sel[9:12, :], S[ROW_ALB:ROW_ALB + 3, ls])
+                S[ROW_SPC:ROW_SPC + 3, ls] = jnp.where(
+                    closer, sel[12:15, :], S[ROW_SPC:ROW_SPC + 3, ls])
+                S[ROW_EMI:ROW_EMI + 3, ls] = jnp.where(
+                    closer, sel[15:18, :], S[ROW_EMI:ROW_EMI + 3, ls])
+                S[ROW_SMO:ROW_SMO + 1, ls] = jnp.where(
+                    closer, sel[18:19, :], S[ROW_SMO:ROW_SMO + 1, ls])
                 S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
 
         # Direction-ordered traversal: clusters (and pages of clusters) are
@@ -811,7 +890,7 @@ def _rows3(ref_or_val, r0):
 
 
 def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
-    """Seed S with the nearest ground/sphere candidate (rows 0-13).
+    """Seed S with the nearest ground/sphere candidate (aligned SROWS rows).
 
     A: (8, B) ray matrix (possibly permuted). Dead rays get best-t 0 so every
     later culling test fails. Triangle passes then only overwrite rows where
@@ -820,6 +899,8 @@ def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
     B = A.shape[1]
     ro = _rows3(A, 0)
     rd = _rows3(A, 3)
+    ro_blk = A[0:3, :]
+    rd_blk = A[3:6, :]
     zero = jnp.zeros((1, B), jnp.float32)
     one = zero + 1.0
 
@@ -859,36 +940,25 @@ def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
     t_ns = jnp.where(sphere_wins, ts_min, tg)
     hit_ns = t_ns < _F32_MAX * 0.5
 
-    # Normals: ground (0,1,0); sphere normalize(pos - center).
-    px = ro[0] + t_ns * rd[0]
-    py = ro[1] + t_ns * rd[1]
-    pz = ro[2] + t_ns * rd[2]
-    nx = px - sel[10:11, :]
-    ny = py - sel[11:12, :]
-    nz = pz - sel[12:13, :]
-    inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    # Normals: ground (0,1,0); sphere normalize(pos - center). All channel
+    # writes land as stacked (3, B) blocks at the aligned SROWS offsets.
+    pos = ro_blk + t_ns * rd_blk                             # (3, B)
+    n_s = pos - sel[10:13, :]
+    d2 = (n_s[0:1, :] * n_s[0:1, :] + n_s[1:2, :] * n_s[1:2, :]
+          + n_s[2:3, :] * n_s[2:3, :])
+    n_s = n_s * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+    n_g = jnp.concatenate([zero, one, zero], axis=0)         # (3, B)
 
-    def pick_chan(s_row, g_row):
-        return jnp.where(hit_ns,
-                         jnp.where(sphere_wins, s_row, g_row), 0.0)
+    def pick3(s_blk, g_blk):
+        return jnp.where(hit_ns, jnp.where(sphere_wins, s_blk, g_blk), 0.0)
 
-    chans = [
-        pick_chan(nx * inv_len, zero),            # normal
-        pick_chan(ny * inv_len, one),
-        pick_chan(nz * inv_len, zero),
-    ]
-    for k in range(3):
-        chans.append(pick_chan(sel[k:k + 1, :], gmisc[1 + k:2 + k, :]))
-    for k in range(3):
-        chans.append(pick_chan(sel[3 + k:4 + k, :], gmisc[4 + k:5 + k, :]))
-    for k in range(3):
-        chans.append(pick_chan(sel[6 + k:7 + k, :], gmisc[7 + k:8 + k, :]))
-    chans.append(pick_chan(sel[9:10, :], gmisc[10:11, :]))   # smoothness
-
+    S[ROW_N:ROW_N + 3, :] = pick3(n_s, n_g)
+    S[ROW_ALB:ROW_ALB + 3, :] = pick3(sel[0:3, :], gmisc[1:4, :])
+    S[ROW_SPC:ROW_SPC + 3, :] = pick3(sel[3:6, :], gmisc[4:7, :])
+    S[ROW_EMI:ROW_EMI + 3, :] = pick3(sel[6:9, :], gmisc[7:10, :])
+    S[ROW_SMO:ROW_SMO + 1, :] = pick3(sel[9:10, :], gmisc[10:11, :])
     S[0:1, :] = jnp.where(alive_row > 0, jnp.minimum(t_ns, _F32_MAX), 0.0)
-    for i, ch in enumerate(chans):
-        S[1 + i:2 + i, :] = ch
-    S[14:16, :] = jnp.zeros((2, B), jnp.float32)
+    S[ROW_CNT:ROW_CNT + 2, :] = jnp.zeros((2, B), jnp.float32)
 
 
 @struct.dataclass
@@ -930,13 +1000,15 @@ class PallasAccel:
     gs: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
-def _split_rows(blocks: np.ndarray, n_terms: int) -> np.ndarray:
+def _split_rows(blocks: np.ndarray, n_terms: int,
+                pattern: str = "hml") -> np.ndarray:
     """Host-side bf16 component split of per-cluster blocks.
 
     blocks: (C, R, L) f32. Returns (C * n_terms * R, L) f32 where each
-    cluster's rows become n_terms stacked groups [h; m; (l)] of
-    bf16-representable values with h + m (+ l) ~= x (exact for n_terms=3 up
-    to the last bf16 rounding; ~2^-18 relative for n_terms=2).
+    cluster's rows become n_terms stacked groups of bf16-representable
+    values: pattern "hml" gives [h; m; (l)] with h + m (+ l) ~= x (exact
+    for n_terms=3 up to the last bf16 rounding); pattern "hhm" gives the
+    PRE-FUSED [h; h; m] arrangement the pf3 kernel dots directly.
     """
     import ml_dtypes
 
@@ -946,9 +1018,12 @@ def _split_rows(blocks: np.ndarray, n_terms: int) -> np.ndarray:
     h = bf(blocks)
     r = blocks - h
     m = bf(r)
-    groups = [h, m]
-    if n_terms == 3:
-        groups.append(bf(r - m))
+    if pattern == "hhm":
+        groups = [h, h, m]
+    else:
+        groups = [h, m]
+        if n_terms == 3:
+            groups.append(bf(r - m))
     out = np.concatenate(groups, axis=1)          # (C, n_terms*R, L)
     return np.ascontiguousarray(out.reshape(-1, blocks.shape[2]))
 
@@ -1171,14 +1246,17 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None,
         lo, hi = np.zeros(3), np.ones(3)
     bbox = tuple(float(x) for x in np.concatenate([lo, hi]))
 
-    if GEOM_MODE in ("mxu_f6", "mxu_f3"):
+    if GEOM_MODE in ("mxu_f6", "mxu_f3", "mxu_pf3"):
         # Pre-split each per-cluster block into bf16-exact component groups
-        # stacked along the sublane axis ([h; m; l] per cluster), so the
-        # kernel's fused default-precision dots see only bf16-representable
-        # f32 operands (see the GEOM_MODE comment at the top).
-        epluck = _split_rows(epluck.reshape(Cp, 8, 3 * KSIZE), 3)
-        eplane = _split_rows(eplane.reshape(Cp, 8, KSIZE), 3)
-        chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
+        # stacked along the sublane axis ([h; m; l] per cluster — or the
+        # pre-fused [h; h; m] for pf3), so the kernel's fused
+        # default-precision dots see only bf16-representable f32 operands
+        # (see the GEOM_MODE comment at the top).
+        geo_pat = "hhm" if GEOM_MODE == "mxu_pf3" else "hml"
+        epluck = _split_rows(epluck.reshape(Cp, 8, 3 * KSIZE), 3, geo_pat)
+        eplane = _split_rows(eplane.reshape(Cp, 8, KSIZE), 3, geo_pat)
+        if CHAN_MODE == "split3":
+            chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
 
     # Host numpy leaves; callers device_put the pytree once per scene build.
     gs = _prepare_ground_spheres(scene) if scene is not None else None
@@ -1245,7 +1323,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
         in_specs=[blk_spec] * 7 + [full()] * (6 + 6 + 6 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((16, BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((SROWS, BLOCK), jnp.float32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
     )(*ray_in, *gs, *pgb, *cl_cols, *pa.cb_rows,
