@@ -151,7 +151,14 @@ REGATE = False
 # misaligned row-wise writes each pay an issue + relayout).
 SROWS = 48
 ROW_T, ROW_CNT, ROW_ADM = 0, 1, 2           # best-t, debug counters
+ROW_WC = 3                                  # winner cluster id (-1 = none)
 ROW_N, ROW_ALB, ROW_SPC, ROW_EMI, ROW_SMO = 8, 16, 24, 32, 40
+
+# Diagnostic: when True, each ray records its winning cluster id in
+# ROW_WC and the kernel emits that row in place of the smoothness channel
+# (feeds the distinct-winners-per-step statistic that decides whether a
+# step-level batched attribute resolver would pay off).
+TRACK_WINNERS = False
 
 
 def _col(row):
@@ -506,8 +513,13 @@ def _compact_hit(S):
     [t, n(3), albedo(3), specular(3), emission(3), smoothness, pad(2)] —
     with COUNT_PASSES the smoothness slot carries
     survived + 1000 * admitted instead."""
-    last = (S[ROW_CNT:ROW_CNT + 1, :] + 1000.0 * S[ROW_ADM:ROW_ADM + 1, :]
-            if COUNT_PASSES else S[ROW_SMO:ROW_SMO + 1, :])
+    if TRACK_WINNERS:
+        last = S[ROW_WC:ROW_WC + 1, :] - 1.0   # -2 marks "no winner"
+    elif COUNT_PASSES:
+        last = (S[ROW_CNT:ROW_CNT + 1, :]
+                + 1000.0 * S[ROW_ADM:ROW_ADM + 1, :])
+    else:
+        last = S[ROW_SMO:ROW_SMO + 1, :]
     return jnp.concatenate(
         [S[0:1, :], S[ROW_N:ROW_N + 3, :], S[ROW_ALB:ROW_ALB + 3, :],
          S[ROW_SPC:ROW_SPC + 3, :], S[ROW_EMI:ROW_EMI + 3, :], last,
@@ -830,6 +842,13 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
                 S[ROW_SMO:ROW_SMO + 1, ls] = jnp.where(
                     closer, sel[18:19, :], S[ROW_SMO:ROW_SMO + 1, ls])
                 S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+                if TRACK_WINNERS:
+                    # 1-based so the zero-initialized row means "no winner"
+                    # (the emitted channel subtracts 1 back).
+                    S[ROW_WC:ROW_WC + 1, ls] = jnp.where(
+                        closer,
+                        (c + 1).astype(jnp.float32) + jnp.zeros_like(t_sel),
+                        S[ROW_WC:ROW_WC + 1, ls])
 
         # Direction-ordered traversal: clusters (and pages of clusters) are
         # Morton-ordered, so ascending index sweeps the scene roughly along
@@ -958,7 +977,7 @@ def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
     S[ROW_EMI:ROW_EMI + 3, :] = pick3(sel[6:9, :], gmisc[7:10, :])
     S[ROW_SMO:ROW_SMO + 1, :] = pick3(sel[9:10, :], gmisc[10:11, :])
     S[0:1, :] = jnp.where(alive_row > 0, jnp.minimum(t_ns, _F32_MAX), 0.0)
-    S[ROW_CNT:ROW_CNT + 2, :] = jnp.zeros((2, B), jnp.float32)
+    S[ROW_CNT:ROW_CNT + 3, :] = jnp.zeros((3, B), jnp.float32)  # + ROW_WC
 
 
 @struct.dataclass
@@ -1010,10 +1029,14 @@ def _split_rows(blocks: np.ndarray, n_terms: int,
     for n_terms=3 up to the last bf16 rounding); pattern "hhm" gives the
     PRE-FUSED [h; h; m] arrangement the pf3 kernel dots directly.
     """
-    import ml_dtypes
-
     def bf(x):
-        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+        # Round-to-nearest-even to bf16 precision via uint32 bit ops
+        # (ml_dtypes astype round-trips are ~10x slower at these sizes;
+        # all inputs are finite so no NaN/inf handling is needed).
+        b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+        r = (b + np.uint32(0x7FFF) + ((b >> np.uint32(16)) & np.uint32(1))) \
+            & np.uint32(0xFFFF0000)
+        return r.view(np.float32)
 
     h = bf(blocks)
     r = blocks - h
