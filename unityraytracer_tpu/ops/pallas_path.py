@@ -57,6 +57,7 @@ ABLATE = frozenset()
 
 
 def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
+                 order_ax,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  alive0_ref, uni_ref,
                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -140,7 +141,7 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
                             sattr_ref[:], gmisc_ref[:])
     if "notrace" not in ABLATE:
         pt._trace_block(
-            geom, n_pages, A, S,
+            geom, n_pages, order_ax, A, S,
             (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref),
             (cxmin_ref, cymin_ref, czmin_ref,
              cxmax_ref, cymax_ref, czmax_ref),
@@ -338,7 +339,7 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
     lo, hi = cfg.ray_bin_bounces
     kernel = functools.partial(
         _path_kernel, pa.n_pages, bounces, lo, hi, cfg.russian_roulette,
-        pa.bbox, pa.geom)
+        pa.bbox, pa.geom, pa.order_ax)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]

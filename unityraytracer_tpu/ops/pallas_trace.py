@@ -417,6 +417,7 @@ def _perm_matrix(d):
 
 
 def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
+                  order_ax,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
                   scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -493,7 +494,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
             [A[6:7, :], jnp.zeros((SROWS - 1, BLOCK), jnp.float32)],
             axis=0)           # row 0 = best_t (seed-init)
 
-    _trace_block(geom, n_pages, A, S,
+    _trace_block(geom, n_pages, order_ax, A, S,
                  (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref),
                  (cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref),
@@ -526,7 +527,7 @@ def _compact_hit(S):
          jnp.zeros((2, S.shape[1]), jnp.float32)], axis=0)
 
 
-def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
+def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                  epl_ref, epn_ref, chan_ref):
     """Run the page/cluster/triangle machinery for one grid step.
 
@@ -850,15 +851,16 @@ def _trace_block(geom, n_pages, A, S, pg_refs, cl_refs, cb_refs,
                         (c + 1).astype(jnp.float32) + jnp.zeros_like(t_sel),
                         S[ROW_WC:ROW_WC + 1, ls])
 
-        # Direction-ordered traversal: clusters (and pages of clusters) are
-        # Morton-ordered, so ascending index sweeps the scene roughly along
-        # the +x+y+z diagonal. Visiting them along each tile's marching
-        # direction makes hits land EARLY, and the per-cluster best-t
-        # re-gate then prunes everything behind the first hit. Both bit
-        # packings cost a handful of VPU ops; a scalar select picks one, so
-        # no pass chain is duplicated. (Binned tiles are octant-pure, which
-        # is what makes a single per-tile direction meaningful.)
-        desc = (jnp.sum(rdx) + jnp.sum(rdy) + jnp.sum(rdz)) < 0
+        # Direction-ordered traversal: ascending cluster index sweeps the
+        # scene along the prep-measured dominant axis (index-vs-centroid
+        # correlation of the kd order). Visiting clusters/pages along each
+        # tile's marching direction makes hits land EARLY, so the best-t
+        # prune kills everything behind them. Both bit packings cost a
+        # handful of VPU ops; a scalar select picks one, so no pass chain
+        # is duplicated. (Binned tiles are octant-pure, which is what makes
+        # a single per-tile direction meaningful.)
+        d_dom = (rdx, rdy, rdz)[order_ax[0]]
+        desc = (jnp.sum(d_dom) * order_ax[1]) < 0
 
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
@@ -1010,6 +1012,13 @@ class PallasAccel:
     # the fused-split modes store epluck/eplane/chan as three stacked bf16
     # component groups (24 / 24 / 72 rows per cluster).
     geom: str = struct.field(pytree_node=False, default="mxu_highest")
+    # (axis, sign): the spatial axis along which cluster INDEX increases
+    # most strongly (index-vs-centroid correlation, baked at prep). The
+    # kernel visits clusters ascending or descending by each tile's mean
+    # direction along this axis, so first hits land early and the best-t
+    # prune kills everything behind them.
+    order_ax: Tuple[int, float] = struct.field(
+        pytree_node=False, default=(0, 1.0))
     # Optional ground+sphere blocks for the full-path megakernel
     # (ops/pallas_path.py): (scx, scy, scz, sr) as (Sp, 1) columns, the
     # (16, Sp) per-sphere attribute block [albedo3, specular3, emission3,
@@ -1283,11 +1292,28 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None,
         if CHAN_MODE == "split3":
             chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
 
+    # Dominant traversal axis: correlate cluster index with cluster centroid
+    # per axis; the strongest (absolute) correlation tells which spatial
+    # direction ascending cluster order sweeps.
+    ccent = 0.5 * (cvmin[:C] + cvmax[:C])
+    if C > 2:
+        idxs = np.arange(C, dtype=np.float64)
+        idxs -= idxs.mean()
+        cc = ccent - ccent.mean(axis=0)
+        denom = np.sqrt((idxs ** 2).sum()) * \
+            np.sqrt(np.maximum((cc ** 2).sum(axis=0), 1e-12))
+        corr = (idxs[:, None] * cc).sum(axis=0) / denom
+        ax = int(np.argmax(np.abs(corr)))
+        order_ax = (ax, float(np.sign(corr[ax]) or 1.0))
+    else:
+        order_ax = (0, 1.0)
+
     # Host numpy leaves; callers device_put the pytree once per scene build.
     gs = _prepare_ground_spheres(scene) if scene is not None else None
     return PallasAccel(pgb=pgb, cl_cols=cl_cols, cb_rows=cb_rows,
                        epluck=epluck, eplane=eplane, chan=chan,
-                       n_pages=G, bbox=bbox, geom=GEOM_MODE, gs=gs)
+                       n_pages=G, bbox=bbox, geom=GEOM_MODE, gs=gs,
+                       order_ax=order_ax)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
@@ -1338,7 +1364,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
                  for _ in range(N_OUTS)]
 
     kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox,
-                               pa.geom, merged)
+                               pa.geom, merged, pa.order_ax)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
