@@ -739,7 +739,16 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             ok = (front & (e_max <= 0.0)
                   & (t_num < 0.0) & (t_num > best_t() * t_den))
 
-            @pl.when(jnp.any(ok))
+            def _gate(pred):
+                # "nogates" perf probe: run the epilogue unconditionally
+                # (all its writes are masked by `closer`, so this is
+                # correctness-neutral) to measure the scalar-reduce +
+                # branch drain the gates cost per pass.
+                if EPILOGUE_MODE == "nogates":
+                    return lambda fn: fn()
+                return pl.when(pred)
+
+            @_gate(jnp.any(ok))
             def _():
                 t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
                 t_bits = jax.lax.bitcast_convert_type(
