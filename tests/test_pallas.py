@@ -79,14 +79,19 @@ def test_kernel_matches_brute_coherent_rays():
 
 
 def test_kernel_multi_page_scene():
-    # >128 kernel clusters => multiple pages. 20k tris -> 2 pages.
+    # >128 kernel clusters => multiple pages. 20k tris -> 2 pages. Each mesh
+    # gets a distinct material so the ATTRIBUTE checks guard the per-page
+    # block-offset arithmetic into epluck/chan (a wrong-cluster-id bug there
+    # corrupts materials while leaving t plausible).
     b = SceneBuilder()
     v, f, n = P.icosphere(3)
     rng = np.random.default_rng(1)
     for i in range(16):
         pos = rng.uniform(-6, 6, 3)
         pos[1] = abs(pos[1]) + 0.5
-        b.add_mesh(v, f, transform=trs_matrix(tuple(pos), (0, 0, 0), 1.0))
+        b.add_mesh(v, f, transform=trs_matrix(tuple(pos), (0, 0, 0), 1.0),
+                   material=Material(albedo=(0.1 + 0.05 * i, 0.9 - 0.05 * i,
+                                             0.2 + 0.03 * i)))
     b.set_skybox(np.ones((2, 4, 3), np.float32))
     scene = b.build()
     assert scene.num_triangles > 128 * 128  # forces n_pages >= 2
@@ -95,8 +100,15 @@ def test_kernel_multi_page_scene():
     ro, rd = _rays(512, seed=5, spread=7.0)
     hb = trace_brute(scene, ro, rd)
     hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
-    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
-                               rtol=1e-4, atol=1e-4)
+    tb = np.asarray(hb.t)
+    np.testing.assert_allclose(tb, np.asarray(hp.t), rtol=1e-4, atol=1e-4)
+    hit = np.isfinite(tb) & (tb < 1e30)
+    assert hit.sum() > 50
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(hb.albedo[k])[hit],
+                                      np.asarray(hp.albedo[k])[hit])
+        np.testing.assert_allclose(np.asarray(hb.normal[k])[hit],
+                                   np.asarray(hp.normal[k])[hit], atol=1e-3)
 
 
 def test_prepare_pallas_accel_shapes():
@@ -249,3 +261,86 @@ def test_render_with_binning_matches_brute():
                                      cam, jax.random.key(3), cfg_b))
     rmse = float(np.sqrt(np.mean((img_p - img_b) ** 2)))
     assert rmse < 1e-4, rmse
+
+
+def test_probe_and_mode_flags_ship_safe():
+    # A diagnostic probe left enabled must fail CI, not silently ship a
+    # broken image or a perf experiment (VERDICT r2). Mode flags are prep
+    # ARGUMENTS now; the module globals only set defaults.
+    from unityraytracer_tpu.ops import pallas_path as pp
+    from unityraytracer_tpu.ops import pallas_trace as pt
+
+    assert pt.COUNT_PASSES is False
+    assert pt.TRACK_WINNERS is False
+    assert pt.EPILOGUE_LITE is False
+    assert pt.EPILOGUE_MODE == "full"
+    assert pt.REGATE is False
+    assert pp.ABLATE == frozenset()
+    # Shipping defaults (bench-validated): exact fused-split geometry,
+    # split3 exact attributes, distance-ordered traversal, octant binning.
+    assert pt.GEOM_MODE == "mxu_f6"
+    assert pt.CHAN_MODE == "split3"
+    assert pt.TRAV_MODE == "priority"
+    assert pt.BIN_SCHEME == "oct_cell"
+
+
+def test_split_rows_bit_exact_vs_reference():
+    # The packed in-place bf16 component split must match the obvious
+    # implementation bit-for-bit (it feeds the EXACT fused-split geometry).
+    from unityraytracer_tpu.ops.pallas_trace import _split_rows
+
+    def ref_split(blocks, n_terms, pattern):
+        def bf(x):
+            b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+            r = (b + np.uint32(0x7FFF)
+                 + ((b >> np.uint32(16)) & np.uint32(1))) \
+                & np.uint32(0xFFFF0000)
+            return r.view(np.float32)
+
+        h = bf(blocks)
+        r = blocks - h
+        m = bf(r)
+        if pattern == "hhm":
+            groups = [h, h, m]
+        else:
+            groups = [h, m]
+            if n_terms == 3:
+                groups.append(bf(r - m))
+        out = np.concatenate(groups, axis=1)
+        return np.ascontiguousarray(out.reshape(-1, blocks.shape[2]))
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((13, 8, 256))
+         * rng.choice([1e-8, 1.0, 1e8], (13, 8, 256))).astype(np.float32)
+    for pattern, n_terms in (("hml", 2), ("hml", 3), ("hhm", 3)):
+        got = _split_rows(x.copy(), n_terms, pattern)
+        want = ref_split(x, n_terms, pattern)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got.view(np.uint32),
+                                      want.view(np.uint32))
+
+
+def test_large_sphere_set_falls_back_to_per_bounce():
+    # >128 spheres exceed the megakernel's in-kernel sphere block; prep must
+    # return gs=None (per-bounce XLA sphere candidates) instead of raising,
+    # and the pallas tracer must still match brute (the reference handles
+    # large sphere sets via its sphere BVH, RayTraceMaster.cs:703-722).
+    b = SceneBuilder()
+    rng = np.random.default_rng(3)
+    for i in range(200):
+        pos = rng.uniform(-8, 8, 3)
+        pos[1] = abs(pos[1]) + 0.3
+        b.add_sphere(tuple(pos), 0.3,
+                     material=Material(albedo=tuple(rng.uniform(0.2, 0.9, 3))))
+    v, f, _ = P.cube()
+    b.add_mesh(v, f, transform=trs_matrix((0, 0.5, 0), (0, 0, 0)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    accel = prepare_pallas_accel(scene.triangles, scene.materials,
+                                 scene=scene)
+    assert accel.gs is None
+    ro, rd = _rays(256, seed=7, spread=8.0)
+    hb = trace_brute(scene, ro, rd)
+    hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
+                               rtol=1e-4, atol=1e-4)

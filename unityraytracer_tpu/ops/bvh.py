@@ -255,11 +255,13 @@ def build_accel(scene: Scene, cfg):
     "bvh"/"cluster" get the raw ClusterAccel; "pallas" additionally pre-packs
     the kernel SoA layout (host-side numpy, so it must happen outside jit).
     """
-    accel = build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
     if getattr(cfg, "tracer", None) == "pallas":
+        # The Pallas prep re-orders triangles with its own kd median split
+        # and never reads the LBVH tree — skip the radix-tree build entirely.
         from .pallas_trace import prepare_pallas_accel
-        return prepare_pallas_accel(accel, scene.materials, scene=scene)
-    return accel
+        return prepare_pallas_accel(scene.triangles, scene.materials,
+                                    scene=scene)
+    return build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
 
 
 # ---------------------------------------------------------------------------

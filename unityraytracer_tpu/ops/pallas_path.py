@@ -57,7 +57,7 @@ ABLATE = frozenset()
 
 
 def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
-                 order_ax,
+                 order_ax, trav, bin_scheme, chan_mode,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  alive0_ref, uni_ref,
                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -107,7 +107,7 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
 
         @pl.when(bin_now)
         def _sort():
-            if pt.BIN_SCHEME == "morton_fine":
+            if bin_scheme == "morton_fine":
                 keys = pt._morton_fine_keys(
                     ins[0:1, :], ins[1:2, :], ins[2:3, :],
                     ins[3:4, :], ins[4:5, :], ins[5:6, :],
@@ -119,8 +119,9 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
             else:
                 bins = pt._ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
                                        ins[3:4, :], ins[4:5, :], ins[5:6, :],
-                                       ins[6:7, :], bbox)
-                P_ref[:] = pt._perm_matrix(pt._bin_destinations(bins))
+                                       ins[6:7, :], bbox, bin_scheme)
+                P_ref[:] = pt._perm_matrix(
+                    pt._bin_destinations(bins, bin_scheme))
             A_ref[:] = pt._permute_exact(ins, P_ref[:], 0)
 
         @pl.when(jnp.logical_not(bin_now))
@@ -146,7 +147,7 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
             (cxmin_ref, cymin_ref, czmin_ref,
              cxmax_ref, cymax_ref, czmax_ref),
             (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-            epl_ref, epn_ref, chan_ref)
+            epl_ref, epn_ref, chan_ref, trav, chan_mode)
 
     # Compact the aligned hit scratch into the 16-row record (so the
     # unpermute matmul stays 16 rows wide), inverse-permute if binned.
@@ -337,9 +338,13 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     lo, hi = cfg.ray_bin_bounces
+    if lo is None or hi is None:
+        # Mixed (1, None)-style configs mean "binning disabled", matching
+        # the bounce loop's predicate in render.py:render_sample.
+        lo = hi = None
     kernel = functools.partial(
         _path_kernel, pa.n_pages, bounces, lo, hi, cfg.russian_roulette,
-        pa.bbox, pa.geom, pa.order_ax)
+        pa.bbox, pa.geom, pa.order_ax, pa.trav, pa.bin_scheme, pa.chan_mode)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]

@@ -183,6 +183,80 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
     return (tmax >= tmin) & (tmax > 0) & (jnp.maximum(tmin, 0.0) < best_t_row)
 
 
+# Traversal ordering strategy:
+#   "priority" — distance-ordered visitation: pages and clusters are visited
+#                in ascending tile entry distance (nearest box first) via a
+#                packed-key min-reduce loop, with a global best-t cutoff that
+#                stops the sweep once the nearest remaining box lies behind
+#                every ray's current best hit. The tile-coherent analog of
+#                ordered BVH traversal with early termination (the ordering
+#                the reference's unordered stack never had,
+#                compute:294-326).
+#   "bitmask"  — legacy index-ordered visitation (dual asc/desc bit packing
+#                selected by the tile's dominant marching direction).
+TRAV_MODE = "priority"
+
+_INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
+
+
+def _outer_aabb_entry(ro, inv, bmin_cols, bmax_cols, best_t_row):
+    """(boxes, rays) slab ENTRY distances: max(tmin, 0) where the box is hit
+    in front of that ray's best-t; +inf otherwise (same admission set as
+    ``_outer_aabb``, but carrying the ordering information)."""
+    B = bmin_cols[0].shape[0]
+    tmin = jnp.full((B, TILE), -_F32_MAX, jnp.float32)
+    tmax = jnp.full((B, TILE), _F32_MAX, jnp.float32)
+    for a in range(3):
+        t1 = (bmin_cols[a] - ro[a]) * inv[a]   # (B, TILE)
+        t2 = (bmax_cols[a] - ro[a]) * inv[a]
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+    ent = jnp.maximum(tmin, 0.0)
+    ok = (tmax >= tmin) & (tmax > 0) & (ent < best_t_row)
+    return jnp.where(ok, ent, jnp.float32(jnp.inf))
+
+
+def _visit_by_distance(entry_col, best_t_fn, visit_fn):
+    """Visit boxes in ascending tile entry order with best-t early exit.
+
+    ``entry_col``: (B, 1) f32 — each box's nearest entry distance over the
+    tile's rays (+inf = no ray admits it). The box index is packed into the
+    low 7 mantissa bits (positive-f32 order survives an int32 view), so ONE
+    min-reduce finds the nearest unvisited box; it is visited, masked to
+    +inf, and the loop repeats. The sweep stops when the nearest remaining
+    entry exceeds every ray's current best-t (``best_t_fn() -> (1, TILE)``):
+    once the first real hits land, everything behind them is never touched.
+    Padded far boxes (>= 1e29) are never visited at all.
+    """
+    B = entry_col.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    bits = jax.lax.bitcast_convert_type(entry_col, jnp.int32)
+    keys0 = jnp.bitwise_or(jnp.bitwise_and(bits, ~jnp.int32(127)), sub)
+
+    def entry_of(wk):
+        return jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(wk, ~jnp.int32(127)), jnp.float32)
+
+    def go_flag(wk):
+        t_ent = entry_of(wk)
+        return (t_ent < jnp.max(best_t_fn())) & (t_ent < 1e29)
+
+    def cond(carry):
+        _, _, go = carry
+        return go
+
+    def body(carry):
+        keys, wk, _ = carry
+        visit_fn(jnp.bitwise_and(wk, jnp.int32(127)))
+        keys = jnp.where(sub == jnp.bitwise_and(wk, jnp.int32(127)),
+                         jnp.int32(_INF_I32), keys)
+        wk = jnp.min(keys)
+        return keys, wk, go_flag(wk)
+
+    wk0 = jnp.min(keys0)
+    jax.lax.while_loop(cond, body, (keys0, wk0, go_flag(wk0)))
+
+
 def _pack_flags_col(flags_col, sub):
     """(B, 1) bool column -> ceil(B/32) int32 bitmask scalars."""
     B = flags_col.shape[0]
@@ -287,12 +361,12 @@ def _bitonic_sort_row(x):
     return x
 
 
-def _nbins() -> int:
-    """Bin count for the active scheme (+1 dead bin, padded to % 8)."""
+def _nbins(scheme: str = None) -> int:
+    """Bin count for the given scheme (+1 dead bin, padded to % 8)."""
     raw = {"oct_cell": 65,
            "oct_src": 8 * (BLOCK // TILE) + 1,
            "oct24_cell": 24 * 8 + 1,
-           "oct_cell32": 8 * 32 + 1}[BIN_SCHEME]
+           "oct_cell32": 8 * 32 + 1}[scheme or BIN_SCHEME]
     return ((raw + 7) // 8) * 8
 
 
@@ -328,7 +402,7 @@ def _permute_exact(M, P, p_dim: int):
     return out
 
 
-def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
+def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox, scheme=None):
     """(1, B) int32 coherence bin per ray; dead rays -> last bin.
 
     Key = direction octant (major: rays in one octant sweep the scene in the
@@ -339,13 +413,14 @@ def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
     wavefront compaction at tile granularity). ``bbox`` is the static scene
     bounding box baked at accel-prep time.
     """
+    scheme = scheme or BIN_SCHEME
     cx = 0.5 * (bbox[0] + bbox[3])
     cy = 0.5 * (bbox[1] + bbox[4])
     cz = 0.5 * (bbox[2] + bbox[5])
     oct_ = ((rdx > 0).astype(jnp.int32)
             + 2 * (rdy > 0).astype(jnp.int32)
             + 4 * (rdz > 0).astype(jnp.int32))
-    if BIN_SCHEME == "oct_src":
+    if scheme == "oct_src":
         B = rox.shape[1]
         src = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) // TILE
         key = oct_ * (B // TILE) + src
@@ -372,10 +447,10 @@ def _ray_bin_ids(rox, roy, roz, rdx, rdy, rdz, seed, bbox):
                 + 2 * (roy > cy).astype(jnp.int32)
                 + 4 * (roz > cz).astype(jnp.int32))
         key = oct_ * 8 + cell
-    return jnp.where(seed > 0, key, _nbins() - 1)
+    return jnp.where(seed > 0, key, _nbins(scheme) - 1)
 
 
-def _bin_destinations(bin_id):
+def _bin_destinations(bin_id, scheme=None):
     """Stable counting sort by bin: (1, B) int32 -> (1, B) int32 positions.
 
     One-hot bin matrix (NBINS, B) + Hillis-Steele prefix sums along lanes
@@ -383,7 +458,7 @@ def _bin_destinations(bin_id):
     f32 on integer values < B — exact.
     """
     B = bin_id.shape[1]
-    nbins = _nbins()
+    nbins = _nbins(scheme)
     sub = jax.lax.broadcasted_iota(jnp.int32, (nbins, B), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nbins, B), 1)
     m = (bin_id == sub).astype(jnp.float32)             # (nbins, B) one-hot
@@ -417,7 +492,7 @@ def _perm_matrix(d):
 
 
 def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
-                  order_ax,
+                  order_ax, trav, bin_scheme, chan_mode,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
                   scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -461,7 +536,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
         [rox_ref[0], roy_ref[0], roz_ref[0],
          rdx_ref[0], rdy_ref[0], rdz_ref[0], seed_ref[0],
          jnp.zeros((1, BLOCK), jnp.float32)], axis=0)    # (8, BLOCK)
-    if bin_rays and BIN_SCHEME == "morton_fine":
+    if bin_rays and bin_scheme == "morton_fine":
         keys = _morton_fine_keys(ins[0:1, :], ins[1:2, :], ins[2:3, :],
                                  ins[3:4, :], ins[4:5, :], ins[5:6, :],
                                  ins[6:7, :], bbox)
@@ -473,8 +548,8 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
     elif bin_rays:
         bins = _ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
                             ins[3:4, :], ins[4:5, :], ins[5:6, :],
-                            ins[6:7, :], bbox)
-        P = _perm_matrix(_bin_destinations(bins))
+                            ins[6:7, :], bbox, bin_scheme)
+        P = _perm_matrix(_bin_destinations(bins, bin_scheme))
         A = _permute_exact(ins, P, 0)
     else:
         P = None
@@ -499,7 +574,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
                  (cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref),
                  (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-                 epl_ref, epn_ref, chan_ref)
+                 epl_ref, epn_ref, chan_ref, trav, chan_mode)
 
     OUT = _compact_hit(S)                    # (16, BLOCK)
     if bin_rays:
@@ -528,7 +603,7 @@ def _compact_hit(S):
 
 
 def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
-                 epl_ref, epn_ref, chan_ref):
+                 epl_ref, epn_ref, chan_ref, trav=None, chan_mode=None):
     """Run the page/cluster/triangle machinery for one grid step.
 
     A: (>=7, BLOCK) ray matrix — rows 0-2 origin, 3-5 direction, 6 initial
@@ -537,6 +612,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     after the call (a triangle only overwrites rows where it beat row 0's
     seed). Shared by the single-bounce kernel and the full-path megakernel.
     """
+    trav = trav or TRAV_MODE
+    chan_mode = chan_mode or CHAN_MODE
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref) = pg_refs
     (cxmin_ref, cymin_ref, czmin_ref,
      cxmax_ref, cymax_ref, czmax_ref) = cl_refs
@@ -783,7 +860,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
                            + sel3[2 * NCHAN:3 * NCHAN, :])
                 elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
-                        and CHAN_MODE != "split3":
+                        and chan_mode != "split3":
                     chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
                                           NCHAN), :]
                     sel = jnp.dot(chan, pick,
@@ -860,23 +937,47 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         (c + 1).astype(jnp.float32) + jnp.zeros_like(t_sel),
                         S[ROW_WC:ROW_WC + 1, ls])
 
-        # Direction-ordered traversal: ascending cluster index sweeps the
+        def page_cols(g):
+            bmin = tuple(_col(cref[g, :].reshape(1, PAGE))
+                         for cref in (cxmin_ref, cymin_ref, czmin_ref))
+            bmax = tuple(_col(cref[g, :].reshape(1, PAGE))
+                         for cref in (cxmax_ref, cymax_ref, czmax_ref))
+            return bmin, bmax
+
+        pg_bmin = (pgx0_ref[:], pgy0_ref[:], pgz0_ref[:])
+        pg_bmax = (pgx1_ref[:], pgy1_ref[:], pgz1_ref[:])
+
+        if trav == "priority":
+            # Distance-ordered sweep at both levels: the nearest admitted
+            # page is culled and traversed first, its clusters visited in
+            # entry order — so the first real hits land as early as possible
+            # and the best-t cutoff ends each sweep (a transient winner that
+            # a closer triangle would later beat is mostly never computed).
+            # Page- and cluster-level culling are pruned by the seeded
+            # best-t exactly as in bitmask mode (ground/sphere hits and
+            # dead rays still eliminate boxes before any triangle work).
+            def page_pass(g):
+                bmin, bmax = page_cols(g)
+                entry = _outer_aabb_entry(ro, inv, bmin, bmax, best_t())
+                ecol = jnp.min(entry, axis=1, keepdims=True)   # (PAGE, 1)
+                _visit_by_distance(
+                    ecol, best_t, lambda dc: cluster_pass(g * PAGE + dc))
+
+            pg_entry = _outer_aabb_entry(ro, inv, pg_bmin, pg_bmax, best_t())
+            pcol = jnp.min(pg_entry, axis=1, keepdims=True)     # (PW, 1)
+            _visit_by_distance(pcol, best_t, page_pass)
+            return
+
+        # Legacy "bitmask" ordering: ascending cluster index sweeps the
         # scene along the prep-measured dominant axis (index-vs-centroid
-        # correlation of the kd order). Visiting clusters/pages along each
-        # tile's marching direction makes hits land EARLY, so the best-t
-        # prune kills everything behind them. Both bit packings cost a
-        # handful of VPU ops; a scalar select picks one, so no pass chain
-        # is duplicated. (Binned tiles are octant-pure, which is what makes
-        # a single per-tile direction meaningful.)
+        # correlation of the kd order); dual asc/desc bit packings are
+        # selected per tile by the sum-of-direction sign.
         d_dom = (rdx, rdy, rdz)[order_ax[0]]
         desc = (jnp.sum(d_dom) * order_ax[1]) < 0
 
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
-            bmin = tuple(_col(cref[g, :].reshape(1, PAGE))
-                         for cref in (cxmin_ref, cymin_ref, czmin_ref))
-            bmax = tuple(_col(cref[g, :].reshape(1, PAGE))
-                         for cref in (cxmax_ref, cymax_ref, czmax_ref))
+            bmin, bmax = page_cols(g)
             cl_hit = _outer_aabb(ro, inv, bmin, bmax, best_t())  # (128, TILE)
             flags = jnp.any(cl_hit, axis=1, keepdims=True)        # (128, 1)
             words_a = _pack_flags_col(flags, sub_col)
@@ -895,8 +996,6 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         # rather than a MAX_PAGES-wide one. Pruned by the seeded best-t
         # (ground/sphere hits and dead rays eliminate pages before any
         # cluster work happens).
-        pg_bmin = (pgx0_ref[:], pgy0_ref[:], pgz0_ref[:])
-        pg_bmax = (pgx1_ref[:], pgy1_ref[:], pgz1_ref[:])
         pg_hit = _outer_aabb(ro, inv, pg_bmin, pg_bmax, best_t())
         pg_flags = jnp.any(pg_hit, axis=1, keepdims=True)
         PW = pg_flags.shape[0]
@@ -1021,6 +1120,13 @@ class PallasAccel:
     # the fused-split modes store epluck/eplane/chan as three stacked bf16
     # component groups (24 / 24 / 72 rows per cluster).
     geom: str = struct.field(pytree_node=False, default="mxu_highest")
+    # Attribute-block numeric path the chan block was packed for (CHAN_MODE).
+    chan_mode: str = struct.field(pytree_node=False, default="split3")
+    # Traversal ordering (TRAV_MODE) and coherence-bin key scheme
+    # (BIN_SCHEME) the kernel should run with — prep arguments so A/B runs
+    # need no source edits.
+    trav: str = struct.field(pytree_node=False, default="priority")
+    bin_scheme: str = struct.field(pytree_node=False, default="oct_cell")
     # (axis, sign): the spatial axis along which cluster INDEX increases
     # most strongly (index-vs-centroid correlation, baked at prep). The
     # kernel visits clusters ascending or descending by each tile's mean
@@ -1047,26 +1153,38 @@ def _split_rows(blocks: np.ndarray, n_terms: int,
     for n_terms=3 up to the last bf16 rounding); pattern "hhm" gives the
     PRE-FUSED [h; h; m] arrangement the pf3 kernel dots directly.
     """
-    def bf(x):
+    C, R, L = blocks.shape
+    blocks = np.ascontiguousarray(blocks, np.float32)
+    # Component groups are written STRAIGHT into the packed output (the
+    # obvious concatenate costs two extra full copies — at 100k triangles
+    # that was most of the accel-build time).
+    out = np.empty((C, n_terms * R, L), np.float32)
+
+    def bf_into(x, dst):
         # Round-to-nearest-even to bf16 precision via uint32 bit ops
         # (ml_dtypes astype round-trips are ~10x slower at these sizes;
-        # all inputs are finite so no NaN/inf handling is needed).
-        b = np.ascontiguousarray(x, np.float32).view(np.uint32)
-        r = (b + np.uint32(0x7FFF) + ((b >> np.uint32(16)) & np.uint32(1))) \
-            & np.uint32(0xFFFF0000)
-        return r.view(np.float32)
+        # all inputs are finite so no NaN/inf handling is needed). All
+        # intermediates land in ``dst`` — no temporaries.
+        b = x.view(np.uint32)
+        o = dst.view(np.uint32)
+        np.right_shift(b, np.uint32(16), out=o)
+        np.bitwise_and(o, np.uint32(1), out=o)
+        np.add(o, b, out=o)
+        np.add(o, np.uint32(0x7FFF), out=o)
+        np.bitwise_and(o, np.uint32(0xFFFF0000), out=o)
+        return dst
 
-    h = bf(blocks)
+    h = bf_into(blocks, out[:, 0:R])
     r = blocks - h
-    m = bf(r)
     if pattern == "hhm":
-        groups = [h, h, m]
+        out[:, R:2 * R] = h
+        bf_into(r, out[:, 2 * R:3 * R])
     else:
-        groups = [h, m]
+        m = bf_into(r, out[:, R:2 * R])
         if n_terms == 3:
-            groups.append(bf(r - m))
-    out = np.concatenate(groups, axis=1)          # (C, n_terms*R, L)
-    return np.ascontiguousarray(out.reshape(-1, blocks.shape[2]))
+            np.subtract(r, m, out=r)
+            bf_into(r, out[:, 2 * R:3 * R])
+    return out.reshape(-1, L)
 
 
 def _prepare_ground_spheres(scene) -> Tuple[np.ndarray, ...]:
@@ -1081,8 +1199,15 @@ def _prepare_ground_spheres(scene) -> Tuple[np.ndarray, ...]:
     S = int(sp.count)
     Sp = max(8, ((S + 7) // 8) * 8)
     if S > 128:
-        raise ValueError("megakernel sphere block caps at 128 spheres; "
-                         "use the per-bounce path for larger sphere sets")
+        # The in-kernel sphere block is one (Sp, rays) broadcast quadratic
+        # with a 7-bit winner index — 128 spheres max. Larger sphere sets
+        # return None so callers fall back to the per-bounce XLA candidate
+        # path (O(S), unbounded), mirroring the reference's sphere-BVH
+        # scale-out (RayTraceMaster.cs:703-722) rather than failing.
+        from ..utils.logging import get_logger
+        get_logger().warn(f"{S} spheres exceed the megakernel block cap "
+                          "(128); using the per-bounce sphere candidate path")
+        return None
     center = np.zeros((Sp, 3), np.float32)
     radius = np.zeros((Sp,), np.float32)
     if S:
@@ -1144,16 +1269,33 @@ def _median_split_order(cent: np.ndarray, K: int) -> np.ndarray:
     return np.concatenate(out)
 
 
-def prepare_pallas_accel(accel: ClusterAccel, materials=None,
-                         scene=None) -> PallasAccel:
-    """Regroup a ClusterAccel into kernel geometry (host-side, not jittable).
+def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
+                         chan_mode=None, trav=None,
+                         bin_scheme=None) -> PallasAccel:
+    """Pack kernel geometry from a ClusterAccel OR a raw Triangles soup
+    (host-side numpy, not jittable).
+
+    The kernel re-orders triangles with its own kd median split and never
+    reads the LBVH tree, so ``build_accel`` hands the scene Triangles
+    straight here for tracer="pallas" (building the radix tree only to
+    discard it cost ~1 s at 100k triangles); a ClusterAccel is still
+    accepted for callers that built one anyway (tests, debug tooling).
 
     ``materials``: the scene Materials table; per-triangle shading attributes
     are baked into the packed channel block so the kernel can output complete
     hit records without any XLA-side gathers. ``scene``: when given, ground +
     sphere blocks for the full-path megakernel are packed too.
+
+    ``geom``/``chan_mode``/``trav``/``bin_scheme`` override the module-level
+    defaults (GEOM_MODE etc.) and are recorded on the returned accel — the
+    kernels follow the accel's fields, so A/B experiments are prep arguments,
+    not source edits.
     """
-    tr = accel.triangles
+    geom = GEOM_MODE if geom is None else geom
+    chan_mode = CHAN_MODE if chan_mode is None else chan_mode
+    trav = TRAV_MODE if trav is None else trav
+    bin_scheme = BIN_SCHEME if bin_scheme is None else bin_scheme
+    tr = getattr(accel, "triangles", accel)   # ClusterAccel or raw Triangles
     v0 = np.asarray(tr.v0)
     v1 = np.asarray(tr.v1)
     v2 = np.asarray(tr.v2)
@@ -1289,16 +1431,16 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None,
         lo, hi = np.zeros(3), np.ones(3)
     bbox = tuple(float(x) for x in np.concatenate([lo, hi]))
 
-    if GEOM_MODE in ("mxu_f6", "mxu_f3", "mxu_pf3"):
+    if geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
         # Pre-split each per-cluster block into bf16-exact component groups
         # stacked along the sublane axis ([h; m; l] per cluster — or the
         # pre-fused [h; h; m] for pf3), so the kernel's fused
         # default-precision dots see only bf16-representable f32 operands
         # (see the GEOM_MODE comment at the top).
-        geo_pat = "hhm" if GEOM_MODE == "mxu_pf3" else "hml"
+        geo_pat = "hhm" if geom == "mxu_pf3" else "hml"
         epluck = _split_rows(epluck.reshape(Cp, 8, 3 * KSIZE), 3, geo_pat)
         eplane = _split_rows(eplane.reshape(Cp, 8, KSIZE), 3, geo_pat)
-        if CHAN_MODE == "split3":
+        if chan_mode == "split3":
             chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
 
     # Dominant traversal axis: correlate cluster index with cluster centroid
@@ -1321,7 +1463,8 @@ def prepare_pallas_accel(accel: ClusterAccel, materials=None,
     gs = _prepare_ground_spheres(scene) if scene is not None else None
     return PallasAccel(pgb=pgb, cl_cols=cl_cols, cb_rows=cb_rows,
                        epluck=epluck, eplane=eplane, chan=chan,
-                       n_pages=G, bbox=bbox, geom=GEOM_MODE, gs=gs,
+                       n_pages=G, bbox=bbox, geom=geom, chan_mode=chan_mode,
+                       trav=trav, bin_scheme=bin_scheme, gs=gs,
                        order_ax=order_ax)
 
 
@@ -1373,7 +1516,8 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
                  for _ in range(N_OUTS)]
 
     kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox,
-                               pa.geom, merged, pa.order_ax)
+                               pa.geom, merged, pa.order_ax, pa.trav,
+                               pa.bin_scheme, pa.chan_mode)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
