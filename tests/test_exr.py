@@ -16,7 +16,8 @@ def _img(h=24, w=32, c=3, seed=0):
     return img
 
 
-@pytest.mark.parametrize("compression", ["none", "zips", "zip"])
+@pytest.mark.parametrize("compression", ["none", "rle", "zips", "zip",
+                                         "piz"])
 def test_exr_float32_roundtrip_exact(tmp_path, compression):
     img = _img()
     path = str(tmp_path / f"rt_{compression}.exr")
@@ -25,7 +26,7 @@ def test_exr_float32_roundtrip_exact(tmp_path, compression):
     np.testing.assert_array_equal(out, img)
 
 
-@pytest.mark.parametrize("compression", ["none", "zip"])
+@pytest.mark.parametrize("compression", ["none", "zip", "rle", "piz"])
 def test_exr_half_roundtrip(tmp_path, compression):
     img = _img(seed=1)
     path = str(tmp_path / f"rt_h_{compression}.exr")
@@ -53,17 +54,44 @@ def test_exr_channel_order_rgba(tmp_path):
 
 def test_exr_rejects_unknown_compression(tmp_path):
     img = _img(h=8, w=8)
-    path = str(tmp_path / "piz.exr")
+    path = str(tmp_path / "px.exr")
     write_exr(path, img, compression="zip", dtype="float")
     raw = bytearray(open(path, "rb").read())
     idx = raw.index(b"compression\x00compression\x00")
     # Attribute payload byte follows name, type, and int32 size.
     off = idx + len(b"compression\x00compression\x00") + 4
-    raw[off] = 4  # PIZ
-    bad = str(tmp_path / "piz_bad.exr")
+    raw[off] = 5  # PXR24 (PIZ is supported now)
+    bad = str(tmp_path / "px_bad.exr")
     open(bad, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="PIZ"):
+    with pytest.raises(ValueError, match="PXR24"):
         load_exr(bad)
+
+
+def test_exr_piz_matches_zip(tmp_path):
+    # The same image through the PIZ pipeline (wavelet+Huffman, 32-line
+    # chunks, ragged tail) and the ZIP pipeline must load bit-identically.
+    img = _img(h=71, w=53, seed=5)
+    p_zip = str(tmp_path / "a.exr")
+    p_piz = str(tmp_path / "b.exr")
+    write_exr(p_zip, img, compression="zip", dtype="half")
+    write_exr(p_piz, img, compression="piz", dtype="half")
+    np.testing.assert_array_equal(load_exr(p_zip), load_exr(p_piz))
+
+
+def test_exr_piz_python_fallback_matches_native(tmp_path):
+    from unityraytracer_tpu import native
+
+    img = _img(h=40, w=37, seed=6)
+    path = str(tmp_path / "c.exr")
+    write_exr(path, img, compression="piz", dtype="half")
+    a = load_exr(path)
+    real = native.huf_decode
+    native.huf_decode = lambda *args, **kw: None   # force Python decoder
+    try:
+        b = load_exr(path)
+    finally:
+        native.huf_decode = real
+    np.testing.assert_array_equal(a, b)
 
 
 def test_load_environment_dispatches_hdr_and_exr(tmp_path):

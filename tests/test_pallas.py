@@ -344,3 +344,13 @@ def test_large_sphere_set_falls_back_to_per_bounce():
     hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
     np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_priority_pipe_traversal_matches_brute():
+    # The software-pipelined cluster loop (MXU dots for cluster i+1 issued
+    # before cluster i's VPU epilogue) must agree with the oracle exactly
+    # like the plain priority sweep.
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav="priority_pipe")
+    assert pa.trav == "priority_pipe"
+    ro, rd = _rays(2 * TILE + 37, seed=13)
+    _assert_matches_brute(SCENE, pa, ro, rd)

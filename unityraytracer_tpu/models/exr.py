@@ -3,10 +3,11 @@
 The reference's skybox set is "16 4K HDR/EXR equirect maps"
 (`/root/reference/Assets/Skyboxes/`, import settings in the .meta files);
 the .hdr half is handled by models/skybox.py, this module covers the .exr
-half: single-part scanline files with NONE / ZIPS / ZIP compression and
-HALF / FLOAT / UINT channels — the format every common HDRI tool emits.
-(PIZ/ PXR24 wavelet variants are rejected with a clear error; re-export as
-ZIP is the documented conversion path.)
+half: single-part scanline files with NONE / RLE / ZIPS / ZIP / PIZ
+compression and HALF / FLOAT / UINT channels — PIZ being the most common
+compression for downloadable 4K EXR HDRIs (wavelet + Huffman, models/piz.py;
+the Huffman hot loop has a native C++ fast path). PXR24 / B44 remain
+rejected with a clear error; re-export as ZIP is the documented path.
 
 Implemented from the OpenEXR file-layout specification; no external deps
 (zlib only). The writer exists so round-trip tests don't need binary
@@ -26,8 +27,10 @@ _COMPRESSION_NONE = 0
 _COMPRESSION_RLE = 1
 _COMPRESSION_ZIPS = 2   # 1 scanline per chunk
 _COMPRESSION_ZIP = 3    # 16 scanlines per chunk
-_LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_ZIPS: 1,
-                    _COMPRESSION_ZIP: 16}
+_COMPRESSION_PIZ = 4
+_LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_RLE: 1,
+                    _COMPRESSION_ZIPS: 1, _COMPRESSION_ZIP: 16,
+                    _COMPRESSION_PIZ: 32}
 _PIXEL_DTYPES = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 _PIXEL_TYPES = {np.dtype("<u4"): 0, np.dtype("<f2"): 1, np.dtype("<f4"): 2}
 
@@ -49,6 +52,49 @@ def _unpredict_deinterleave(raw: bytes) -> bytes:
     out[0::2] = arr[:half]
     out[1::2] = arr[half:]
     return out.tobytes()
+
+
+def _rle_decompress(payload: bytes) -> bytes:
+    """EXR byte RLE: signed count < 0 -> -count literal bytes, else count+1
+    copies of the next byte; then the same post-filters as ZIP."""
+    out = bytearray()
+    i = 0
+    n = len(payload)
+    while i < n:
+        c = payload[i]
+        i += 1
+        if c > 127:                       # signed char < 0: literal run
+            cnt = 256 - c
+            out += payload[i:i + cnt]
+            i += cnt
+        else:
+            out += payload[i:i + 1] * (c + 1)
+            i += 1
+    return _unpredict_deinterleave(bytes(out))
+
+
+def _rle_compress(raw: bytes) -> bytes:
+    data = _interleave_predict(raw)
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(data[i])
+            i += run
+        else:
+            lit = i
+            while i < n and i - lit < 127 \
+                    and not (i + 2 < n and data[i] == data[i + 1]
+                             and data[i] == data[i + 2]):
+                i += 1
+            out.append(256 - (i - lit))
+            out += data[lit:i]
+    return bytes(out)
 
 
 def _interleave_predict(raw: bytes) -> bytes:
@@ -127,9 +173,15 @@ def load_exr(path: str) -> np.ndarray:
         payload = data[off + 8:off + 8 + size]
         row0 = y - ymin
         n_lines = min(lines_per, H - row0)
-        if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
-            if size < n_lines * bytes_per_line:   # stored only if smaller
+        if size < n_lines * bytes_per_line:       # stored only if smaller
+            if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
                 payload = _unpredict_deinterleave(zlib.decompress(payload))
+            elif comp == _COMPRESSION_RLE:
+                payload = _rle_decompress(payload)
+            elif comp == _COMPRESSION_PIZ:
+                from .piz import piz_decompress
+                sizes = [dt.itemsize // 2 for _, dt in chans]
+                payload = piz_decompress(payload, sizes, W, n_lines)
         lpos = 0
         for li in range(n_lines):
             for cname, dt in chans:
@@ -152,8 +204,9 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     C = 1 if img.ndim == 2 else img.shape[2]
     img = img.reshape(H, W, C)
     dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
-    comp = {"none": _COMPRESSION_NONE, "zips": _COMPRESSION_ZIPS,
-            "zip": _COMPRESSION_ZIP}[compression]
+    comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
+            "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
+            "piz": _COMPRESSION_PIZ}[compression]
 
     names = ["R", "G", "B", "A"][:C]
     order = sorted(range(C), key=lambda i: names[i])
@@ -192,9 +245,15 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
                     img[row0 + li, :, i].astype(dt)).tobytes()
         if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
             packed = zlib.compress(_interleave_predict(raw))
-            if len(packed) >= len(raw):   # spec: keep raw if not smaller
-                packed = raw
+        elif comp == _COMPRESSION_RLE:
+            packed = _rle_compress(raw)
+        elif comp == _COMPRESSION_PIZ:
+            from .piz import piz_compress
+            sizes = [dt.itemsize // 2] * C
+            packed = piz_compress(raw, sizes, W, n_lines)
         else:
+            packed = raw
+        if len(packed) >= len(raw):       # spec: keep raw if not smaller
             packed = raw
         chunks.append((row0, packed))
 

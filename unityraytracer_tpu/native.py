@@ -47,6 +47,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
         ]
+        try:   # stale .so built before the PIZ entry point: skip, keep rest
+            lib.urt_huf_decode.restype = ctypes.c_int
+            lib.urt_huf_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _load_failed = True
@@ -110,6 +120,27 @@ def morton_sort(points01: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]
     if rc != 0:
         return None
     return codes, order
+
+
+def huf_decode(blob: bytes, pos: int, n_bits: int, lengths: np.ndarray,
+               rlc: int, n_out: int) -> Optional[np.ndarray]:
+    """Canonical-Huffman decode of an EXR PIZ symbol stream (hot loop of
+    4K-HDRI loading), or None when the native library is unavailable
+    (models/piz.py falls back to the Python decoder)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "urt_huf_decode"):
+        return None
+    data = np.frombuffer(blob, np.uint8)
+    lens = np.ascontiguousarray(lengths, np.int32)
+    out = np.empty(n_out, np.uint16)
+    rc = lib.urt_huf_decode(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(pos), int(n_bits),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(rlc),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out)
+    if rc != 0:
+        raise ValueError(f"corrupt huffman stream (native rc={rc})")
+    return out
 
 
 if __name__ == "__main__":

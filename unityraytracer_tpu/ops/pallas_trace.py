@@ -197,6 +197,7 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
 TRAV_MODE = "priority"
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
+_CUT_I32 = int(np.float32(1e29).view(np.int32))        # "padded box" cutoff
 
 
 def _outer_aabb_entry(ro, inv, bmin_cols, bmax_cols, best_t_row):
@@ -233,13 +234,15 @@ def _visit_by_distance(entry_col, best_t_fn, visit_fn):
     bits = jax.lax.bitcast_convert_type(entry_col, jnp.int32)
     keys0 = jnp.bitwise_or(jnp.bitwise_and(bits, ~jnp.int32(127)), sub)
 
-    def entry_of(wk):
-        return jax.lax.bitcast_convert_type(
-            jnp.bitwise_and(wk, ~jnp.int32(127)), jnp.float32)
-
     def go_flag(wk):
-        t_ent = entry_of(wk)
-        return (t_ent < jnp.max(best_t_fn())) & (t_ent < 1e29)
+        # Entirely in int32 bit space (positive-f32 order survives the int
+        # view; Mosaic has no SCALAR bitcast): the tile's best-t row is
+        # bitcast as a vector and max-reduced, and wk's index bits are
+        # masked DOWN so the comparison stays conservative.
+        bt_bits = jnp.max(jax.lax.bitcast_convert_type(
+            best_t_fn(), jnp.int32))
+        ent = jnp.bitwise_and(wk, ~jnp.int32(127))
+        return (ent < bt_bits) & (ent < jnp.int32(_CUT_I32))
 
     def cond(carry):
         _, _, go = carry
@@ -666,6 +669,40 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             B_od = jnp.concatenate([fuse_ray(O4), fuse_ray(D4)],
                                    axis=1)                       # (k, 2*TILE)
 
+            def fuse_tri(blk):
+                # Blocks are stored as three 8-row bf16-component groups —
+                # [h; m; l] for f6/f3 (stacked along the contraction dim per
+                # pass to pair with the fused ray operands), or PRE-FUSED
+                # [h; h; m] for pf3 (dotted straight from VMEM).
+                if geom == "mxu_pf3":
+                    return blk
+                h, m, l = blk[0:8], blk[8:16], blk[16:24]
+                if geom == "mxu_f6":
+                    return jnp.concatenate([h, h, m, h, l, m], axis=0)
+                return jnp.concatenate([h, h, m], axis=0)
+
+            def fused_dots(c):
+                """The cluster's MXU work alone (no VPU epilogue): one
+                fused-split edge dot + one plane dot."""
+                eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                dims = (((0,), (0,)), ((), ()))
+                e_all = jax.lax.dot_general(
+                    fuse_tri(eblk), B_e, dims,
+                    preferred_element_type=jnp.float32)          # (3K, rays)
+                tnd = jax.lax.dot_general(
+                    fuse_tri(pblk), B_od, dims,
+                    preferred_element_type=jnp.float32)          # (K, 2*TILE)
+                return e_all, tnd
+
+            def fused_epilogue(c, e_all, tnd):
+                e01 = e_all[0:KSIZE, :]
+                e12 = e_all[KSIZE:2 * KSIZE, :]
+                e20 = e_all[2 * KSIZE:3 * KSIZE, :]
+                t_num = tnd[:, 0:TILE]
+                t_den = tnd[:, TILE:2 * TILE]
+                return _winner_update(c, e01, e12, e20, t_num, t_den)
+
         def best_t():
             return S[0:1, ls]
 
@@ -713,36 +750,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             if COUNT_PASSES:
                 S[ROW_CNT:ROW_CNT + 1, ls] = S[ROW_CNT:ROW_CNT + 1, ls] + 1.0
             if geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
-                # Blocks are stored as three 8-row bf16-component groups —
-                # [h; m; l] for f6/f3 (stacked along the contraction dim per
-                # pass to pair with the fused ray operands), or PRE-FUSED
-                # [h; h; m] for pf3 (dotted straight from VMEM: the
-                # per-pass concat itself costs a measurable slice of the
-                # ~1.2k-cycle pass).
-                eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
-                pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
-
-                def fuse_tri(blk):
-                    if geom == "mxu_pf3":
-                        return blk
-                    h, m, l = blk[0:8], blk[8:16], blk[16:24]
-                    if geom == "mxu_f6":
-                        return jnp.concatenate([h, h, m, h, l, m], axis=0)
-                    return jnp.concatenate([h, h, m], axis=0)
-
-                dims = (((0,), (0,)), ((), ()))
-                e_all = jax.lax.dot_general(
-                    fuse_tri(eblk), B_e, dims,
-                    preferred_element_type=jnp.float32)          # (3K, rays)
-                e01 = e_all[0:KSIZE, :]
-                e12 = e_all[KSIZE:2 * KSIZE, :]
-                e20 = e_all[2 * KSIZE:3 * KSIZE, :]
-                tnd = jax.lax.dot_general(
-                    fuse_tri(pblk), B_od, dims,
-                    preferred_element_type=jnp.float32)          # (K, 2*TILE)
-                t_num = tnd[:, 0:TILE]
-                t_den = tnd[:, TILE:2 * TILE]
-                return _winner_update(c, e01, e12, e20, t_num, t_den)
+                e_all, tnd = fused_dots(c)
+                return fused_epilogue(c, e_all, tnd)
 
             eblk = epl_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, 3K)
             pblk = epn_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, K)
@@ -947,7 +956,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         pg_bmin = (pgx0_ref[:], pgy0_ref[:], pgz0_ref[:])
         pg_bmax = (pgx1_ref[:], pgy1_ref[:], pgz1_ref[:])
 
-        if trav == "priority":
+        if trav in ("priority", "priority_pipe"):
             # Distance-ordered sweep at both levels: the nearest admitted
             # page is culled and traversed first, its clusters visited in
             # entry order — so the first real hits land as early as possible
@@ -956,12 +965,60 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             # Page- and cluster-level culling are pruned by the seeded
             # best-t exactly as in bitmask mode (ground/sphere hits and
             # dead rays still eliminate boxes before any triangle work).
+            pipe = (trav == "priority_pipe"
+                    and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
+
             def page_pass(g):
                 bmin, bmax = page_cols(g)
                 entry = _outer_aabb_entry(ro, inv, bmin, bmax, best_t())
                 ecol = jnp.min(entry, axis=1, keepdims=True)   # (PAGE, 1)
-                _visit_by_distance(
-                    ecol, best_t, lambda dc: cluster_pass(g * PAGE + dc))
+                if not pipe:
+                    _visit_by_distance(
+                        ecol, best_t, lambda dc: cluster_pass(g * PAGE + dc))
+                    return
+                # Software-pipelined variant: cluster i+1's MXU dots are
+                # issued BEFORE cluster i's VPU epilogue runs, so the two
+                # units can overlap inside one loop body (the measured
+                # bottleneck is ~650 cycles/hit-pass of VPU->MXU->VPU
+                # serialization, invariant to dot size). The dots carry
+                # across the while iteration; the first/last iterations
+                # each waste at most one speculative dot pair.
+                sub = jax.lax.broadcasted_iota(jnp.int32, (PAGE, 1), 0)
+                bits = jax.lax.bitcast_convert_type(ecol, jnp.int32)
+                keys0 = jnp.bitwise_or(
+                    jnp.bitwise_and(bits, ~jnp.int32(127)), sub)
+
+                def go_flag(wk):
+                    # int32 bit-space compare (no scalar bitcast on Mosaic).
+                    bt_bits = jnp.max(jax.lax.bitcast_convert_type(
+                        best_t(), jnp.int32))
+                    ent = jnp.bitwise_and(wk, ~jnp.int32(127))
+                    return (ent < bt_bits) & (ent < jnp.int32(_CUT_I32))
+
+                def cond(carry):
+                    return carry[2]
+
+                def body(carry):
+                    keys, wk, _, c_cur, e_all, tnd = carry
+                    keys2 = jnp.where(
+                        sub == jnp.bitwise_and(wk, jnp.int32(127)),
+                        jnp.int32(_INF_I32), keys)
+                    wk2 = jnp.min(keys2)
+                    c_next = g * PAGE + jnp.bitwise_and(wk2, jnp.int32(127))
+                    e2, t2 = fused_dots(c_next)     # MXU, independent
+                    if COUNT_PASSES:
+                        S[ROW_ADM:ROW_ADM + 1, ls] = \
+                            S[ROW_ADM:ROW_ADM + 1, ls] + 1.0
+                        S[ROW_CNT:ROW_CNT + 1, ls] = \
+                            S[ROW_CNT:ROW_CNT + 1, ls] + 1.0
+                    fused_epilogue(c_cur, e_all, tnd)   # VPU, current
+                    return keys2, wk2, go_flag(wk2), c_next, e2, t2
+
+                wk0 = jnp.min(keys0)
+                c0 = g * PAGE + jnp.bitwise_and(wk0, jnp.int32(127))
+                e0, t0 = fused_dots(c0)   # speculative prologue dots
+                jax.lax.while_loop(cond, body,
+                                   (keys0, wk0, go_flag(wk0), c0, e0, t0))
 
             pg_entry = _outer_aabb_entry(ro, inv, pg_bmin, pg_bmax, best_t())
             pcol = jnp.min(pg_entry, axis=1, keepdims=True)     # (PW, 1)
