@@ -193,3 +193,27 @@ def test_deep_bounce_rr_cross_path():
     # Same seed => same RR decisions; only float op-order noise may differ.
     assert rmse(imgs["mega"], imgs["brute"]) < 1e-3
     assert rmse(imgs["loop"], imgs["brute"]) < 1e-3
+
+
+def test_watch_progressive_preview(tmp_path):
+    # Renderer.watch: the OnRenderImage display analog — progressive file
+    # refresh with atomic replace + a local HTTP preview.
+    import urllib.request
+
+    out = str(tmp_path / "preview.png")
+    cfg = CFG.replace(width=32, height=24, bounces=2)
+    r = Renderer(SCENE, CAM, cfg, seed=0)
+    ticks = []
+    r.watch(out, every=2, frames=4, denoise=False, http_port=18631,
+            on_update=lambda rr: ticks.append(rr.sample_count))
+    assert ticks == [2, 4]
+    assert r.sample_count == 4
+    import os
+    assert os.path.getsize(out) > 100
+    page = urllib.request.urlopen(
+        "http://127.0.0.1:18631/", timeout=5).read()
+    assert b"preview.png" in page
+    png = urllib.request.urlopen(
+        "http://127.0.0.1:18631/preview.png", timeout=5).read()
+    assert png[:4] == b"\x89PNG"
+    r._preview_server.shutdown()

@@ -451,6 +451,83 @@ class Renderer:
         self.stats["device"] = prof
         return prof
 
+    def watch(self, path: str = "preview.png", every: int = 4,
+              frames: Optional[int] = None, denoise: bool = True,
+              http_port: Optional[int] = None,
+              on_update: Optional[Callable] = None) -> "Renderer":
+        """Progressive live preview — the reference's per-editor-frame
+        display loop (`OnRenderImage`/`Graphics.Blit`,
+        RayTraceMaster.cs:848-866) for a headless box: render ``every``
+        frames per tick, write the (optionally denoised) tonemapped
+        accumulator to ``path`` atomically, repeat until ``frames`` samples
+        have accumulated (None = until KeyboardInterrupt).
+
+        ``http_port`` serves the refreshing preview at
+        ``http://localhost:<port>/`` from a daemon thread. ``on_update``
+        (if given) is called with this renderer after every tick.
+        """
+        import os
+        import tempfile
+        from .utils.image import tonemap_aces, write_png
+
+        if http_port is not None:
+            self._serve_preview(path, http_port)
+        try:
+            while frames is None or self.sample_count < frames:
+                n = every if frames is None \
+                    else min(every, frames - self.sample_count)
+                self.step(n)
+                img = self.denoised_image() if denoise else self.image
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.dirname(os.path.abspath(path)) or ".",
+                    suffix=".png")
+                os.close(fd)
+                write_png(tmp, tonemap_aces(img))
+                os.replace(tmp, path)     # atomic: readers never see a torn file
+                if on_update is not None:
+                    on_update(self)
+        except KeyboardInterrupt:
+            pass
+        return self
+
+    def _serve_preview(self, path: str, port: int) -> None:
+        """Daemon HTTP thread: / auto-refreshes, /preview.png is the file."""
+        import http.server
+        import threading
+
+        html = (b"<html><head><meta http-equiv='refresh' content='2'>"
+                b"<title>unityraytracer_tpu preview</title></head>"
+                b"<body style='background:#111;margin:0'>"
+                b"<img src='/preview.png' style='width:100%'></body></html>")
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(h):
+                if h.path == "/preview.png":
+                    try:
+                        with open(path, "rb") as f:
+                            data = f.read()
+                    except OSError:
+                        h.send_response(404)
+                        h.end_headers()
+                        return
+                    h.send_response(200)
+                    h.send_header("Content-Type", "image/png")
+                    h.send_header("Cache-Control", "no-store")
+                    h.end_headers()
+                    h.wfile.write(data)
+                else:
+                    h.send_response(200)
+                    h.send_header("Content-Type", "text/html")
+                    h.end_headers()
+                    h.wfile.write(html)
+
+            def log_message(h, *a):      # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        self._preview_server = srv
+
     @property
     def image(self) -> np.ndarray:
         """Current converged image, (H, W, 3) linear float32, row 0 = top."""
