@@ -114,3 +114,27 @@ def test_profile_stages_runs_real_computation():
     f(x)  # compile outside the trace
     prof = profile_stages(lambda: f(x))
     assert prof.total_ms >= 0.0
+
+
+def test_renderer_profile_integration(tmp_path):
+    # The WIRED path (Renderer.profile -> jax.profiler trace -> parser) the
+    # perf work steers by — previously only the parser was unit-tested.
+    import numpy as np
+    from unityraytracer_tpu import (Camera, Material, RenderConfig, Renderer,
+                                    SceneBuilder)
+
+    b = SceneBuilder()
+    b.add_sphere((0, 1.0, 0), 1.0, Material(albedo=(0.7, 0.3, 0.2)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    cam = Camera.create(position=(0, 1.5, -5), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, spp=1, bounces=2, tracer="brute")
+    r = Renderer(scene, cam, cfg, seed=0)
+    prof = r.profile(n_frames=2)
+    # CPU backend still emits a parseable trace; the contract is: a
+    # DeviceProfile lands in stats with non-negative totals and stage map.
+    assert r.stats["device"] is prof
+    assert prof.total_ms >= 0.0
+    assert isinstance(prof.stages_ms, dict) and "other" in prof.stages_ms
+    assert r.sample_count == 2   # profiling advanced the real render state
