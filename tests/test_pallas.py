@@ -280,7 +280,8 @@ def test_probe_and_mode_flags_ship_safe():
     # split3 exact attributes, distance-ordered traversal, octant binning.
     assert pt.GEOM_MODE == "mxu_f6"
     assert pt.CHAN_MODE == "split3"
-    assert pt.TRAV_MODE == "priority"
+    assert pt.TRAV_MODE == "bitmask_pipe"
+    assert pt.PAGE_AXES is True
     assert pt.BIN_SCHEME == "oct_cell"
 
 
@@ -346,11 +347,17 @@ def test_large_sphere_set_falls_back_to_per_bounce():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_priority_pipe_traversal_matches_brute():
-    # The software-pipelined cluster loop (MXU dots for cluster i+1 issued
-    # before cluster i's VPU epilogue) must agree with the oracle exactly
-    # like the plain priority sweep.
-    pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav="priority_pipe")
-    assert pa.trav == "priority_pipe"
+@pytest.mark.parametrize("trav,page_axes", [
+    ("priority", True), ("priority_pipe", True),
+    ("bitmask", False), ("bitmask", True),
+    ("bitmask_pipe", False), ("bitmask_pipe", True)])
+def test_traversal_modes_match_brute(trav, page_axes):
+    # Every traversal ordering (distance-ordered priority sweeps, indexed
+    # bitmask sweeps, their software-pipelined variants, per-page vs global
+    # dominant axis) must agree with the oracle — ordering is a perf
+    # heuristic, never a correctness knob.
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav=trav,
+                              page_axes=page_axes)
+    assert pa.trav == trav and pa.page_axes == page_axes
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)

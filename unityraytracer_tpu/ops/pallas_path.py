@@ -57,11 +57,12 @@ ABLATE = frozenset()
 
 
 def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
-                 order_ax, trav, bin_scheme, chan_mode,
+                 order_ax, trav, bin_scheme, chan_mode, page_axes,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  alive0_ref, uni_ref,
                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
                  pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+                 pgaxd_ref,
                  cxmin_ref, cymin_ref, czmin_ref,
                  cxmax_ref, cymax_ref, czmax_ref,
                  cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref,
@@ -143,11 +144,12 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
     if "notrace" not in ABLATE:
         pt._trace_block(
             geom, n_pages, order_ax, A, S,
-            (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref),
+            (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+             pgaxd_ref),
             (cxmin_ref, cymin_ref, czmin_ref,
              cxmax_ref, cymax_ref, czmax_ref),
             (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-            epl_ref, epn_ref, chan_ref, trav, chan_mode)
+            epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
 
     # Compact the aligned hit scratch into the 16-row record (so the
     # unpermute matmul stays 16 rows wide), inverse-permute if binned.
@@ -344,14 +346,15 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
         lo = hi = None
     kernel = functools.partial(
         _path_kernel, pa.n_pages, bounces, lo, hi, cfg.russian_roulette,
-        pa.bbox, pa.geom, pa.order_ax, pa.trav, pa.bin_scheme, pa.chan_mode)
+        pa.bbox, pa.geom, pa.order_ax, pa.trav, pa.bin_scheme, pa.chan_mode,
+        pa.page_axes)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps, bounces),
-        in_specs=[ray_spec] * 7 + [uni_spec] + [full()] * (6 + 6 + 6 + 6 + 3),
+        in_specs=[ray_spec] * 7 + [uni_spec] + [full()] * (6 + 7 + 6 + 6 + 3),
         out_specs=[out_spec] * 9,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((pt.SROWS, B), jnp.float32),
@@ -361,8 +364,8 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
                         pltpu.VMEM((16, B), jnp.float32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
-    )(*ray_in, uni_steps, *pa.gs, *pa.pgb, *pa.cl_cols, *pa.cb_rows,
-      pa.epluck, pa.eplane, pa.chan)
+    )(*ray_in, uni_steps, *pa.gs, *pa.pgb, pa.pgaxd, *pa.cl_cols,
+      *pa.cb_rows, pa.epluck, pa.eplane, pa.chan)
 
     outs = tuple(o.reshape(Np)[:N] for o in outs)
     return outs[0:3], outs[3:6], outs[6:9]

@@ -192,9 +192,21 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
 #                ordered BVH traversal with early termination (the ordering
 #                the reference's unordered stack never had,
 #                compute:294-326).
-#   "bitmask"  — legacy index-ordered visitation (dual asc/desc bit packing
-#                selected by the tile's dominant marching direction).
-TRAV_MODE = "priority"
+#   "bitmask"  — index-ordered visitation (dual asc/desc bit packing
+#                selected by the tile's dominant marching direction); the
+#                per-visit cost is a ~free ctz.
+#   "bitmask_pipe" — bitmask visitation with the cluster MXU dots
+#                SOFTWARE-PIPELINED across the ctz loop: iteration i+1's
+#                dots issue before iteration i's VPU epilogue, so the two
+#                units overlap (the measured bottleneck was ~650 cyc of
+#                VPU->MXU->VPU serialization per hit pass).
+#   MEASURED (1080p/100k/8b megakernel, v5e): priority 280 ms vs bitmask
+#   250.7 ms — the distance-ordered sweep's per-visit min-reduce (~18
+#   latency-bound row ops) costs more than the transient winners it saves;
+#   kept for small-page scenes and as the termination-pruning reference.
+TRAV_MODE = "bitmask_pipe"
+# Per-page dominant-axis ordering (vs one global axis): zero per-visit cost.
+PAGE_AXES = True
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
 _CUT_I32 = int(np.float32(1e29).view(np.int32))        # "padded box" cutoff
@@ -495,11 +507,12 @@ def _perm_matrix(d):
 
 
 def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
-                  order_ax, trav, bin_scheme, chan_mode,
+                  order_ax, trav, bin_scheme, chan_mode, page_axes,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
                   scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
                   pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+                  pgaxd_ref,
                   cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref,
                   cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref,
@@ -573,11 +586,12 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
             axis=0)           # row 0 = best_t (seed-init)
 
     _trace_block(geom, n_pages, order_ax, A, S,
-                 (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref),
+                 (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+                  pgaxd_ref),
                  (cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref),
                  (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-                 epl_ref, epn_ref, chan_ref, trav, chan_mode)
+                 epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
 
     OUT = _compact_hit(S)                    # (16, BLOCK)
     if bin_rays:
@@ -606,7 +620,8 @@ def _compact_hit(S):
 
 
 def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
-                 epl_ref, epn_ref, chan_ref, trav=None, chan_mode=None):
+                 epl_ref, epn_ref, chan_ref, trav=None, chan_mode=None,
+                 page_axes=None):
     """Run the page/cluster/triangle machinery for one grid step.
 
     A: (>=7, BLOCK) ray matrix — rows 0-2 origin, 3-5 direction, 6 initial
@@ -617,7 +632,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     """
     trav = trav or TRAV_MODE
     chan_mode = chan_mode or CHAN_MODE
-    (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref) = pg_refs
+    page_axes = PAGE_AXES if page_axes is None else page_axes
+    (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+     pgaxd_ref) = pg_refs
     (cxmin_ref, cymin_ref, czmin_ref,
      cxmax_ref, cymax_ref, czmax_ref) = cl_refs
     (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref) = cb_refs
@@ -1025,27 +1042,85 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             _visit_by_distance(pcol, best_t, page_pass)
             return
 
-        # Legacy "bitmask" ordering: ascending cluster index sweeps the
+        # "bitmask" ordering family: ascending cluster index sweeps the
         # scene along the prep-measured dominant axis (index-vs-centroid
         # correlation of the kd order); dual asc/desc bit packings are
-        # selected per tile by the sum-of-direction sign.
+        # selected by the sum-of-direction sign — per PAGE when the accel
+        # carries per-page axis codes (kd recursion gives different pages
+        # different dominant axes; the global axis mis-ordered ~40% of hit
+        # passes into transient winners).
         d_dom = (rdx, rdy, rdz)[order_ax[0]]
-        desc = (jnp.sum(d_dom) * order_ax[1]) < 0
+        desc_global = (jnp.sum(d_dom) * order_ax[1]) < 0
+        if page_axes:
+            dsx, dsy, dsz = jnp.sum(rdx), jnp.sum(rdy), jnp.sum(rdz)
+
+        pipe = trav == "bitmask_pipe" and geom in ("mxu_f6", "mxu_f3",
+                                                   "mxu_pf3")
+
+        def _ctz(w):
+            """Index of the lowest set bit (garbage-safe: 0 when w == 0)."""
+            low = jnp.bitwise_and(w, jnp.int32(0) - w)
+            safe = jnp.where(w != 0, low, jnp.int32(1))
+            return jnp.round(jnp.log2(jnp.abs(
+                safe.astype(jnp.float32)))).astype(jnp.int32)
+
+        def _pipe_word(word, idx_of):
+            """ctz loop with the cluster dots software-pipelined: iteration
+            i+1's MXU dots are issued before iteration i's VPU epilogue, so
+            the units overlap (the measured per-hit-pass bottleneck was
+            ~650 cycles of VPU->MXU->VPU serialization, invariant to dot
+            size). Each word costs at most one speculative dot pair."""
+            @pl.when(word != 0)
+            def _():
+                c0 = idx_of(_ctz(word))
+                e0, t0 = fused_dots(c0)
+
+                def cond(carry):
+                    return carry[0] != 0
+
+                def body(carry):
+                    w, c_cur, e_all, tnd = carry
+                    low = jnp.bitwise_and(w, jnp.int32(0) - w)
+                    w2 = jnp.bitwise_xor(w, low)
+                    c_next = idx_of(_ctz(w2))
+                    e2, t2 = fused_dots(c_next)     # MXU, independent
+                    if COUNT_PASSES:
+                        S[ROW_ADM:ROW_ADM + 1, ls] = \
+                            S[ROW_ADM:ROW_ADM + 1, ls] + 1.0
+                        S[ROW_CNT:ROW_CNT + 1, ls] = \
+                            S[ROW_CNT:ROW_CNT + 1, ls] + 1.0
+                    fused_epilogue(c_cur, e_all, tnd)   # VPU, current
+                    return w2, c_next, e2, t2
+
+                jax.lax.while_loop(cond, body, (word, c0, e0, t0))
 
         def page_pass(g):
             """Cluster-level culling for page g, then triangle passes."""
             bmin, bmax = page_cols(g)
             cl_hit = _outer_aabb(ro, inv, bmin, bmax, best_t())  # (128, TILE)
             flags = jnp.any(cl_hit, axis=1, keepdims=True)        # (128, 1)
+            if page_axes:
+                axv = pgaxd_ref[g, 0]        # sign * (axis + 1)
+                absv = jnp.abs(axv)
+                dsel = jnp.where(absv > 2.5, dsz,
+                                 jnp.where(absv > 1.5, dsy, dsx))
+                desc = (dsel * axv) < 0
+            else:
+                desc = desc_global
             words_a = _pack_flags_col(flags, sub_col)
             words_d = _pack_flags_col(flags, PAGE - 1 - sub_col)
             for w in range(4):
                 word = jnp.where(desc, words_d[w], words_a[w])
-                _for_set_bits(
-                    word,
-                    lambda dc, w=w: cluster_pass(
-                        g * PAGE + jnp.where(desc, PAGE - 1 - (w * 32 + dc),
-                                             w * 32 + dc)))
+
+                def idx_of(dc, w=w, desc=desc):
+                    return g * PAGE + jnp.where(
+                        desc, PAGE - 1 - (w * 32 + dc), w * 32 + dc)
+
+                if pipe:
+                    _pipe_word(word, idx_of)
+                else:
+                    _for_set_bits(word,
+                                  lambda dc, f=idx_of: cluster_pass(f(dc)))
 
         # Page-level culling: one (pages, rays) block over the page AABBs —
         # stored as narrow (PW, 1) columns with PW = pages rounded up to the
@@ -1060,11 +1135,12 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         pgw_a = _pack_flags_col(pg_flags, sub_pg)
         pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
         for w in range(len(pgw_a)):
-            word = jnp.where(desc, pgw_d[w], pgw_a[w])
+            word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
             _for_set_bits(
                 word,
                 lambda dg, w=w: page_pass(
-                    jnp.where(desc, PW - 1 - (w * 32 + dg), w * 32 + dg)))
+                    jnp.where(desc_global, PW - 1 - (w * 32 + dg),
+                              w * 32 + dg)))
 
     for r in range(A.shape[1] // TILE):
         row_body(r)
@@ -1158,6 +1234,11 @@ class PallasAccel:
 
     pgb: Tuple[jnp.ndarray, ...]     # 6 x (PW, 1) page bound columns
                                      # (min xyz, max xyz; PW = pages % 8)
+    pgaxd: jnp.ndarray               # (PW, 1) per-page dominant-axis code:
+                                     # sign * (axis + 1) of the strongest
+                                     # index-vs-centroid correlation WITHIN
+                                     # the page (prep-measured); drives
+                                     # per-page asc/desc cluster visitation
     cl_cols: Tuple[jnp.ndarray, ...]  # 6 x (G, PAGE) cluster bounds
     cb_rows: Tuple[jnp.ndarray, ...]  # 6 x (Cp, TILE) lane-broadcast cluster
                                       # bounds (per-cluster re-gate rows)
@@ -1182,7 +1263,9 @@ class PallasAccel:
     # Traversal ordering (TRAV_MODE) and coherence-bin key scheme
     # (BIN_SCHEME) the kernel should run with — prep arguments so A/B runs
     # need no source edits.
-    trav: str = struct.field(pytree_node=False, default="priority")
+    trav: str = struct.field(pytree_node=False, default="bitmask_pipe")
+    # Per-page (instead of global) dominant-axis cluster ordering.
+    page_axes: bool = struct.field(pytree_node=False, default=True)
     bin_scheme: str = struct.field(pytree_node=False, default="oct_cell")
     # (axis, sign): the spatial axis along which cluster INDEX increases
     # most strongly (index-vs-centroid correlation, baked at prep). The
@@ -1328,7 +1411,7 @@ def _median_split_order(cent: np.ndarray, K: int) -> np.ndarray:
 
 def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
                          chan_mode=None, trav=None,
-                         bin_scheme=None) -> PallasAccel:
+                         bin_scheme=None, page_axes=None) -> PallasAccel:
     """Pack kernel geometry from a ClusterAccel OR a raw Triangles soup
     (host-side numpy, not jittable).
 
@@ -1352,6 +1435,7 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     chan_mode = CHAN_MODE if chan_mode is None else chan_mode
     trav = TRAV_MODE if trav is None else trav
     bin_scheme = BIN_SCHEME if bin_scheme is None else bin_scheme
+    page_axes = PAGE_AXES if page_axes is None else page_axes
     tr = getattr(accel, "triangles", accel)   # ClusterAccel or raw Triangles
     v0 = np.asarray(tr.v0)
     v1 = np.asarray(tr.v1)
@@ -1500,10 +1584,30 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
         if chan_mode == "split3":
             chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
 
+    # Per-page dominant axis codes sign*(axis+1): within each page, which
+    # spatial direction does ascending cluster index sweep? (The kd
+    # median-split recursion gives different pages different dominant
+    # axes; a single global axis mis-orders ~40% of hit passes into
+    # transient winners, measured via TRACK_WINNERS in round 2.)
+    ccent_all = 0.5 * (cvmin[:C] + cvmax[:C])
+    pgaxd = np.ones((PW, 1), np.float32)
+    for p_ in range(G):
+        lo_, hi_ = p_ * PAGE, min(C, (p_ + 1) * PAGE)
+        cc = ccent_all[lo_:hi_]
+        if len(cc) > 2:
+            ii = np.arange(len(cc), dtype=np.float64)
+            ii -= ii.mean()
+            cd = cc - cc.mean(axis=0)
+            den = np.sqrt((ii ** 2).sum()) * \
+                np.sqrt(np.maximum((cd ** 2).sum(axis=0), 1e-12))
+            corr = (ii[:, None] * cd).sum(axis=0) / den
+            ax_ = int(np.argmax(np.abs(corr)))
+            pgaxd[p_, 0] = float(np.sign(corr[ax_]) or 1.0) * (ax_ + 1)
+
     # Dominant traversal axis: correlate cluster index with cluster centroid
     # per axis; the strongest (absolute) correlation tells which spatial
     # direction ascending cluster order sweeps.
-    ccent = 0.5 * (cvmin[:C] + cvmax[:C])
+    ccent = ccent_all
     if C > 2:
         idxs = np.arange(C, dtype=np.float64)
         idxs -= idxs.mean()
@@ -1518,10 +1622,12 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
 
     # Host numpy leaves; callers device_put the pytree once per scene build.
     gs = _prepare_ground_spheres(scene) if scene is not None else None
-    return PallasAccel(pgb=pgb, cl_cols=cl_cols, cb_rows=cb_rows,
+    return PallasAccel(pgb=pgb, pgaxd=pgaxd, cl_cols=cl_cols,
+                       cb_rows=cb_rows,
                        epluck=epluck, eplane=eplane, chan=chan,
                        n_pages=G, bbox=bbox, geom=geom, chan_mode=chan_mode,
-                       trav=trav, bin_scheme=bin_scheme, gs=gs,
+                       trav=trav, bin_scheme=bin_scheme,
+                       page_axes=page_axes, gs=gs,
                        order_ax=order_ax)
 
 
@@ -1574,20 +1680,20 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
 
     kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox,
                                pa.geom, merged, pa.order_ax, pa.trav,
-                               pa.bin_scheme, pa.chan_mode)
+                               pa.bin_scheme, pa.chan_mode, pa.page_axes)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[blk_spec] * 7 + [full()] * (6 + 6 + 6 + 6 + 3),
+        in_specs=[blk_spec] * 7 + [full()] * (6 + 7 + 6 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((SROWS, BLOCK), jnp.float32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
-    )(*ray_in, *gs, *pgb, *cl_cols, *pa.cb_rows,
+    )(*ray_in, *gs, *pgb, pa.pgaxd, *cl_cols, *pa.cb_rows,
       pa.epluck, pa.eplane, pa.chan)
 
     return tuple(o.reshape(N) for o in outs)
