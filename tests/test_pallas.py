@@ -280,7 +280,7 @@ def test_probe_and_mode_flags_ship_safe():
     # split3 exact attributes, distance-ordered traversal, octant binning.
     assert pt.GEOM_MODE == "mxu_f6"
     assert pt.CHAN_MODE == "split3"
-    assert pt.TRAV_MODE == "bitmask_pipe"
+    assert pt.TRAV_MODE == "bitmask"
     assert pt.PAGE_AXES is True
     assert pt.BIN_SCHEME == "oct_cell"
 

@@ -200,12 +200,21 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
 #                dots issue before iteration i's VPU epilogue, so the two
 #                units overlap (the measured bottleneck was ~650 cyc of
 #                VPU->MXU->VPU serialization per hit pass).
-#   MEASURED (1080p/100k/8b megakernel, v5e): priority 280 ms vs bitmask
-#   250.7 ms — the distance-ordered sweep's per-visit min-reduce (~18
-#   latency-bound row ops) costs more than the transient winners it saves;
-#   kept for small-page scenes and as the termination-pruning reference.
-TRAV_MODE = "bitmask_pipe"
-# Per-page dominant-axis ordering (vs one global axis): zero per-visit cost.
+#   MEASURED (1080p/100k/8b megakernel, v5e, control bitmask 250.7 ms):
+#     priority 280.1 — the distance-ordered sweep's per-visit min-reduce
+#       (~18 latency-bound row ops) costs more than the transient winners
+#       it saves, and the best-t cutoff almost never fires (any sky-bound
+#       ray holds the tile's max best-t at F32_MAX);
+#     bitmask_pipe 259.2 — Mosaic does NOT overlap the speculative MXU
+#       dots with the current epilogue across a while-loop carry; the
+#       ~330 KB carried dot results cost copies instead;
+#     bitmask+page_axes 250.9 — neutral on the bench scene (its pages'
+#       dominant axes mostly agree with the global axis).
+#   All modes are oracle-identical; bitmask stays the default.
+TRAV_MODE = "bitmask"
+# Per-page dominant-axis ordering (vs one global axis): zero per-visit
+# cost, measured neutral on the bench scene, strictly better ordering on
+# scenes whose kd pages sweep different axes.
 PAGE_AXES = True
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
@@ -1263,7 +1272,7 @@ class PallasAccel:
     # Traversal ordering (TRAV_MODE) and coherence-bin key scheme
     # (BIN_SCHEME) the kernel should run with — prep arguments so A/B runs
     # need no source edits.
-    trav: str = struct.field(pytree_node=False, default="bitmask_pipe")
+    trav: str = struct.field(pytree_node=False, default="bitmask")
     # Per-page (instead of global) dominant-axis cluster ordering.
     page_axes: bool = struct.field(pytree_node=False, default=True)
     bin_scheme: str = struct.field(pytree_node=False, default="oct_cell")
