@@ -166,11 +166,15 @@ def test_golden_scene1_regression():
         assert err < 1e-3, (tag, err)
 
 
-def test_deep_bounce_rr_cross_path():
+@pytest.mark.parametrize("rr_group", ["ray", "step"])
+def test_deep_bounce_rr_cross_path(rr_group):
     """Russian roulette actually FIRES (bounces=5 => RR active for b in
     {2, 3}) and the megakernel's in-kernel RR (ops/pallas_path.py) matches
     the XLA bounce-loop RR and the brute oracle on the same streams — the
     r2 bench config shipped RR with zero image coverage (VERDICT r2 #3).
+    rr_group="step" additionally covers the group-shared RR uniforms (one
+    decision per (8, 128)-pixel group) and the megakernel's step-level
+    dead-step skip across every path.
 
     A mesh is included so triangle hit -> RR -> further bounces runs through
     the Pallas kernel, not just sphere/ground candidates."""
@@ -180,7 +184,8 @@ def test_deep_bounce_rr_cross_path():
     scene = fixtures.scene1()
     cam = fixtures.scene1_camera(aspect=48 / 32)
     cfg = RenderConfig(width=48, height=32, spp=1, bounces=5, tracer="brute",
-                       ray_chunk=3072, russian_roulette=True)
+                       ray_chunk=3072, russian_roulette=True,
+                       rr_group=rr_group)
     assert cfg.russian_roulette and cfg.bounces >= 5
     imgs = {}
     for tag, tcfg in (("brute", cfg),

@@ -63,6 +63,15 @@ class RenderConfig:
     # Bounce 0 is camera-coherent already; deep bounces are RR-thinned and
     # cheaper than the sort. (None, None) disables.
     ray_bin_bounces: tuple = (1, 2)
+    # Russian-roulette decision granularity: "ray" draws an independent
+    # uniform per ray (the textbook estimator); "step" shares ONE uniform
+    # across each (8 x 128)-pixel group — exactly one megakernel step — so
+    # deep-bounce survivors collapse into whole steps and the dead steps
+    # skip all per-bounce work (correlated RR via common random numbers:
+    # each ray still survives with its own probability, so the estimator
+    # stays unbiased; within-group deaths are correlated, slightly raising
+    # per-frame variance on indirect light).
+    rr_group: str = "ray"
     # Full-path megakernel (ops/pallas_path.py): trace + ground/spheres +
     # shading for ALL bounces inside one Pallas dispatch, path state resident
     # in VMEM. Applies to tracer="pallas"; the bounce-loop path remains for

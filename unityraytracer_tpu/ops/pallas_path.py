@@ -79,220 +79,229 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
     b = pl.program_id(1)
     zero = jnp.zeros((1, B), jnp.float32)
 
-    @pl.when(b == 0)
-    def _init():
-        ST[0:1, :] = rox_ref[0, 0:1, :]
-        ST[1:2, :] = roy_ref[0, 0:1, :]
-        ST[2:3, :] = roz_ref[0, 0:1, :]
-        ST[8:9, :] = rdx_ref[0, 0:1, :]
-        ST[9:10, :] = rdy_ref[0, 0:1, :]
-        ST[10:11, :] = rdz_ref[0, 0:1, :]
-        ST[16:19, :] = jnp.ones((3, B), jnp.float32)      # energy
-        ST[24:27, :] = jnp.zeros((3, B), jnp.float32)     # radiance
-        ST[32:35, :] = jnp.zeros((3, B), jnp.float32)     # sky_e
-        ST[40:41, :] = zero                               # sky_d = (0, 1, 0)
-        ST[41:42, :] = zero + 1.0
-        ST[42:43, :] = zero
-        ST[48:49, :] = alive0_ref[0, 0:1, :]
+    # Step-level early-out: once every ray of this 1024-ray step is dead
+    # (sky strips die at bounce 1; group Russian roulette kills whole steps
+    # at deep bounces), the remaining (step, bounce) grid cells skip
+    # sort/ground/spheres/trace/shade entirely — the out blocks keep their
+    # VMEM-resident values from the last live bounce, which are exactly the
+    # step's final state (dead rays never change radiance or sky records).
+    # At b == 0 the scratch is uninitialized, so the init bounce always runs.
+    @pl.when((b == 0) | jnp.any(ST[48:49, :] > 0))
+    def _live_step():
+        @pl.when(b == 0)
+        def _init():
+            ST[0:1, :] = rox_ref[0, 0:1, :]
+            ST[1:2, :] = roy_ref[0, 0:1, :]
+            ST[2:3, :] = roz_ref[0, 0:1, :]
+            ST[8:9, :] = rdx_ref[0, 0:1, :]
+            ST[9:10, :] = rdy_ref[0, 0:1, :]
+            ST[10:11, :] = rdz_ref[0, 0:1, :]
+            ST[16:19, :] = jnp.ones((3, B), jnp.float32)      # energy
+            ST[24:27, :] = jnp.zeros((3, B), jnp.float32)     # radiance
+            ST[32:35, :] = jnp.zeros((3, B), jnp.float32)     # sky_e
+            ST[40:41, :] = zero                               # sky_d = (0, 1, 0)
+            ST[41:42, :] = zero + 1.0
+            ST[42:43, :] = zero
+            ST[48:49, :] = alive0_ref[0, 0:1, :]
 
-    alive_row = ST[48:49, :]
-    seed_alive = jnp.where(alive_row > 0, 1.0, 0.0)
-    ins = jnp.concatenate([ST[0:3, :], ST[8:11, :], seed_alive, zero],
-                          axis=0)                                  # (8, B)
+        alive_row = ST[48:49, :]
+        seed_alive = jnp.where(alive_row > 0, 1.0, 0.0)
+        ins = jnp.concatenate([ST[0:3, :], ST[8:11, :], seed_alive, zero],
+                              axis=0)                                  # (8, B)
 
-    if bin_lo is None:
-        bin_now = None
-        A_ref[:] = ins
-    else:
-        bin_now = (b >= bin_lo) & (b <= bin_hi)
-
-        @pl.when(bin_now)
-        def _sort():
-            if bin_scheme == "morton_fine":
-                keys = pt._morton_fine_keys(
-                    ins[0:1, :], ins[1:2, :], ins[2:3, :],
-                    ins[3:4, :], ins[4:5, :], ins[5:6, :],
-                    ins[6:7, :], bbox)
-                src = jnp.bitwise_and(pt._bitonic_sort_row(keys),
-                                      jnp.int32((1 << pt._LANE_BITS) - 1))
-                i_iota = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-                P_ref[:] = (i_iota == src).astype(jnp.bfloat16)
-            else:
-                bins = pt._ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
-                                       ins[3:4, :], ins[4:5, :], ins[5:6, :],
-                                       ins[6:7, :], bbox, bin_scheme)
-                P_ref[:] = pt._perm_matrix(
-                    pt._bin_destinations(bins, bin_scheme))
-            A_ref[:] = pt._permute_exact(ins, P_ref[:], 0)
-
-        @pl.when(jnp.logical_not(bin_now))
-        def _ident():
+        if bin_lo is None:
+            bin_now = None
             A_ref[:] = ins
+        else:
+            bin_now = (b >= bin_lo) & (b <= bin_hi)
 
-    A = A_ref[:]
-    # Non-triangle candidates seed S (in trace order); triangles overwrite
-    # where strictly closer. Dead rays carry best-t 0 -> no triangle work.
-    a_alive = A[6:7, :]
-    if "nogs" in ABLATE:
-        S[:] = jnp.concatenate(
-            [jnp.where(a_alive > 0, _F32_MAX, 0.0),
-             jnp.zeros((pt.SROWS - 1, B), jnp.float32)], axis=0)
-    else:
-        _ground_sphere_init(A, S, a_alive,
-                            scx_ref[:], scy_ref[:], scz_ref[:], sr_ref[:],
-                            sattr_ref[:], gmisc_ref[:])
-    if "notrace" not in ABLATE:
-        pt._trace_block(
-            geom, n_pages, order_ax, A, S,
-            (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
-             pgaxd_ref),
-            (cxmin_ref, cymin_ref, czmin_ref,
-             cxmax_ref, cymax_ref, czmax_ref),
-            (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-            epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
+            @pl.when(bin_now)
+            def _sort():
+                if bin_scheme == "morton_fine":
+                    keys = pt._morton_fine_keys(
+                        ins[0:1, :], ins[1:2, :], ins[2:3, :],
+                        ins[3:4, :], ins[4:5, :], ins[5:6, :],
+                        ins[6:7, :], bbox)
+                    src = jnp.bitwise_and(pt._bitonic_sort_row(keys),
+                                          jnp.int32((1 << pt._LANE_BITS) - 1))
+                    i_iota = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+                    P_ref[:] = (i_iota == src).astype(jnp.bfloat16)
+                else:
+                    bins = pt._ray_bin_ids(ins[0:1, :], ins[1:2, :], ins[2:3, :],
+                                           ins[3:4, :], ins[4:5, :], ins[5:6, :],
+                                           ins[6:7, :], bbox, bin_scheme)
+                    P_ref[:] = pt._perm_matrix(
+                        pt._bin_destinations(bins, bin_scheme))
+                A_ref[:] = pt._permute_exact(ins, P_ref[:], 0)
 
-    # Compact the aligned hit scratch into the 16-row record (so the
-    # unpermute matmul stays 16 rows wide), inverse-permute if binned.
-    H_ref[:] = pt._compact_hit(S)
-    if bin_lo is not None:
-        @pl.when(bin_now)
-        def _unsort():
-            H_ref[:] = pt._permute_exact(H_ref[:], P_ref[:], 1)
+            @pl.when(jnp.logical_not(bin_now))
+            def _ident():
+                A_ref[:] = ins
 
-    # ---- shade: STACKED Vec3 on 8-aligned (3, B) blocks -----------------
-    # Mosaic packs (1, B) rows with per-row sublane offsets, so row-wise
-    # Vec3 math costs one issue PER COMPONENT plus relayouts between
-    # mismatched offsets; (3, B) blocks at 8-aligned scratch offsets run
-    # whole vectors per issue (measured 1.6x on a shade-like chain). The
-    # math below mirrors ops/shade.py's trig branch op-for-op.
-    H = H_ref[:]
+        A = A_ref[:]
+        # Non-triangle candidates seed S (in trace order); triangles overwrite
+        # where strictly closer. Dead rays carry best-t 0 -> no triangle work.
+        a_alive = A[6:7, :]
+        if "nogs" in ABLATE:
+            S[:] = jnp.concatenate(
+                [jnp.where(a_alive > 0, _F32_MAX, 0.0),
+                 jnp.zeros((pt.SROWS - 1, B), jnp.float32)], axis=0)
+        else:
+            _ground_sphere_init(A, S, a_alive,
+                                scx_ref[:], scy_ref[:], scz_ref[:], sr_ref[:],
+                                sattr_ref[:], gmisc_ref[:])
+        if "notrace" not in ABLATE:
+            pt._trace_block(
+                geom, n_pages, order_ax, A, S,
+                (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
+                 pgaxd_ref),
+                (cxmin_ref, cymin_ref, czmin_ref,
+                 cxmax_ref, cymax_ref, czmax_ref),
+                (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
+                epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
 
-    def c3(r0):
-        return jnp.concatenate([H[r0:r0 + 1, :], H[r0 + 1:r0 + 2, :],
-                                H[r0 + 2:r0 + 3, :]], axis=0)
+        # Compact the aligned hit scratch into the 16-row record (so the
+        # unpermute matmul stays 16 rows wide), inverse-permute if binned.
+        H_ref[:] = pt._compact_hit(S)
+        if bin_lo is not None:
+            @pl.when(bin_now)
+            def _unsort():
+                H_ref[:] = pt._permute_exact(H_ref[:], P_ref[:], 1)
 
-    alive_b = alive_row > 0
-    t = jnp.where(alive_b, H[0:1, :], _F32_MAX)       # dead rays: miss
-    t = jnp.where(t >= _F32_MAX * 0.5, MISS * 1.5, t)
-    missed = t >= MISS
-    ro = ST[0:3, :]
-    rd = ST[8:11, :]
-    energy = ST[16:19, :]
-    n = c3(1)
-    alb_raw = c3(4)
-    spec = c3(7)
-    emis = c3(10)
-    smooth = H[13:14, :]
+        # ---- shade: STACKED Vec3 on 8-aligned (3, B) blocks -----------------
+        # Mosaic packs (1, B) rows with per-row sublane offsets, so row-wise
+        # Vec3 math costs one issue PER COMPONENT plus relayouts between
+        # mismatched offsets; (3, B) blocks at 8-aligned scratch offsets run
+        # whole vectors per issue (measured 1.6x on a shade-like chain). The
+        # math below mirrors ops/shade.py's trig branch op-for-op.
+        H = H_ref[:]
 
-    # Uniform rows (precomputed in XLA, see render_sample_mega): 0 roulette,
-    # 1 log2(u1), 2 cos(2*pi*u2), 3 sin(2*pi*u2), 4 RR — pure functions of
-    # the same threefry draws the XLA bounce loop uses (Mosaic's pow/sin/cos
-    # lower to slow generic polynomials).
-    u_r = uni_ref[0, 0, 0:1, :]
-    log2_u1 = uni_ref[0, 0, 1:2, :]
-    cos_phi = uni_ref[0, 0, 2:3, :]
-    sin_phi = uni_ref[0, 0, 3:4, :]
+        def c3(r0):
+            return jnp.concatenate([H[r0:r0 + 1, :], H[r0 + 1:r0 + 2, :],
+                                    H[r0 + 2:r0 + 3, :]], axis=0)
 
-    if "noshade" in ABLATE:
-        new_ro, new_dir = ro, rd
-        new_energy = energy * jnp.where(missed, 0.0, 0.9)
-        contrib = energy * 0.01
-    else:
-        albedo = jnp.minimum(1.0 - spec, alb_raw)
-        spec_chance = (spec[0:1, :] + spec[1:2, :] + spec[2:3, :]) / 3.0
-        diff_chance = (albedo[0:1, :] + albedo[1:2, :] + albedo[2:3, :]) / 3.0
-        total = spec_chance + diff_chance
-        safe_total = jnp.where(total > 0, total, 1.0)
-        spec_chance = spec_chance / safe_total
-        diff_chance = diff_chance / safe_total
-        is_spec = (total > 0) & (u_r < spec_chance)
-        is_diff = (total > 0) & jnp.logical_not(is_spec) & (diff_chance > 0)
+        alive_b = alive_row > 0
+        t = jnp.where(alive_b, H[0:1, :], _F32_MAX)       # dead rays: miss
+        t = jnp.where(t >= _F32_MAX * 0.5, MISS * 1.5, t)
+        missed = t >= MISS
+        ro = ST[0:3, :]
+        rd = ST[8:11, :]
+        energy = ST[16:19, :]
+        n = c3(1)
+        alb_raw = c3(4)
+        spec = c3(7)
+        emis = c3(10)
+        smooth = H[13:14, :]
 
-        d_dot_n = (rd[0:1, :] * n[0:1, :] + rd[1:2, :] * n[1:2, :]
-                   + rd[2:3, :] * n[2:3, :])
-        refl = rd - (2.0 * d_dot_n) * n
-        axis = jnp.where(is_spec, refl, n)
-        alpha = jnp.exp2(smooth * smooth * jnp.float32(np.log2(1000.0)))
-        cos_t = jnp.exp2(log2_u1 / jnp.where(is_spec, alpha + 1.0, 2.0))
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        # Uniform rows (precomputed in XLA, see render_sample_mega): 0 roulette,
+        # 1 log2(u1), 2 cos(2*pi*u2), 3 sin(2*pi*u2), 4 RR — pure functions of
+        # the same threefry draws the XLA bounce loop uses (Mosaic's pow/sin/cos
+        # lower to slow generic polynomials).
+        u_r = uni_ref[0, 0, 0:1, :]
+        log2_u1 = uni_ref[0, 0, 1:2, :]
+        cos_phi = uni_ref[0, 0, 2:3, :]
+        sin_phi = uni_ref[0, 0, 3:4, :]
 
-        def norm3(v):
-            d2 = (v[0:1, :] * v[0:1, :] + v[1:2, :] * v[1:2, :]
-                  + v[2:3, :] * v[2:3, :])
-            return v * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+        if "noshade" in ABLATE:
+            new_ro, new_dir = ro, rd
+            new_energy = energy * jnp.where(missed, 0.0, 0.9)
+            contrib = energy * 0.01
+        else:
+            albedo = jnp.minimum(1.0 - spec, alb_raw)
+            spec_chance = (spec[0:1, :] + spec[1:2, :] + spec[2:3, :]) / 3.0
+            diff_chance = (albedo[0:1, :] + albedo[1:2, :] + albedo[2:3, :]) / 3.0
+            total = spec_chance + diff_chance
+            safe_total = jnp.where(total > 0, total, 1.0)
+            spec_chance = spec_chance / safe_total
+            diff_chance = diff_chance / safe_total
+            is_spec = (total > 0) & (u_r < spec_chance)
+            is_diff = (total > 0) & jnp.logical_not(is_spec) & (diff_chance > 0)
 
-        # Tangent frame (GetTangentSpace, compute:89-100): the helper axis
-        # is axis-aligned, so cross(axis, helper) reduces to component
-        # shuffles with sign flips.
-        use_z = jnp.abs(axis[0:1, :]) > 0.99
-        zero1 = jnp.zeros_like(use_z, jnp.float32)
-        tang = norm3(jnp.concatenate(
-            [jnp.where(use_z, axis[1:2, :], zero1),
-             jnp.where(use_z, -axis[0:1, :], axis[2:3, :]),
-             jnp.where(use_z, zero1, -axis[1:2, :])], axis=0))
+            d_dot_n = (rd[0:1, :] * n[0:1, :] + rd[1:2, :] * n[1:2, :]
+                       + rd[2:3, :] * n[2:3, :])
+            refl = rd - (2.0 * d_dot_n) * n
+            axis = jnp.where(is_spec, refl, n)
+            alpha = jnp.exp2(smooth * smooth * jnp.float32(np.log2(1000.0)))
+            cos_t = jnp.exp2(log2_u1 / jnp.where(is_spec, alpha + 1.0, 2.0))
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
-        def cross3(a, v):
-            a1 = jnp.concatenate([a[1:2, :], a[2:3, :], a[0:1, :]], axis=0)
-            a2 = jnp.concatenate([a[2:3, :], a[0:1, :], a[1:2, :]], axis=0)
-            v1 = jnp.concatenate([v[1:2, :], v[2:3, :], v[0:1, :]], axis=0)
-            v2 = jnp.concatenate([v[2:3, :], v[0:1, :], v[1:2, :]], axis=0)
-            return a1 * v2 - a2 * v1
+            def norm3(v):
+                d2 = (v[0:1, :] * v[0:1, :] + v[1:2, :] * v[1:2, :]
+                      + v[2:3, :] * v[2:3, :])
+                return v * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
 
-        binorm = norm3(cross3(axis, tang))
-        new_dir = (tang * (cos_phi * sin_t) + binorm * (sin_phi * sin_t)
-                   + axis * cos_t)
-        f = (alpha + 2.0) / (alpha + 1.0)
-        nd = (n[0:1, :] * new_dir[0:1, :] + n[1:2, :] * new_dir[1:2, :]
-              + n[2:3, :] * new_dir[2:3, :])
-        w_spec_s = jnp.clip(nd * f, 0.0, 1.0) \
-            / jnp.maximum(spec_chance, 1e-8)
-        lobe = jnp.where(is_spec, spec * w_spec_s,
-                         jnp.where(is_diff,
-                                   albedo / jnp.maximum(diff_chance, 1e-8),
-                                   0.0))
-        pos = ro + t * rd
-        contrib = jnp.where(missed, 0.0, energy * emis)
-        new_energy = jnp.where(missed, 0.0, energy * lobe)
-        new_ro = jnp.where(missed, ro, pos + n * 0.001)
-        new_dir = jnp.where(missed, rd, new_dir)
+            # Tangent frame (GetTangentSpace, compute:89-100): the helper axis
+            # is axis-aligned, so cross(axis, helper) reduces to component
+            # shuffles with sign flips.
+            use_z = jnp.abs(axis[0:1, :]) > 0.99
+            zero1 = jnp.zeros_like(use_z, jnp.float32)
+            tang = norm3(jnp.concatenate(
+                [jnp.where(use_z, axis[1:2, :], zero1),
+                 jnp.where(use_z, -axis[0:1, :], axis[2:3, :]),
+                 jnp.where(use_z, zero1, -axis[1:2, :])], axis=0))
 
-    record = missed & alive_b
-    # Radiance/energy/ray updates need no alive gating: a dead ray reached
-    # shade with t = F32_MAX => missed, zero contrib/energy, ray preserved.
-    ST[24:27, :] = ST[24:27, :] + contrib
-    ST[32:35, :] = jnp.where(record, energy, ST[32:35, :])
-    ST[40:43, :] = jnp.where(record, rd, ST[40:43, :])
-    ST[0:3, :] = new_ro
-    ST[8:11, :] = new_dir
+            def cross3(a, v):
+                a1 = jnp.concatenate([a[1:2, :], a[2:3, :], a[0:1, :]], axis=0)
+                a2 = jnp.concatenate([a[2:3, :], a[0:1, :], a[1:2, :]], axis=0)
+                v1 = jnp.concatenate([v[1:2, :], v[2:3, :], v[0:1, :]], axis=0)
+                v2 = jnp.concatenate([v[2:3, :], v[0:1, :], v[1:2, :]], axis=0)
+                return a1 * v2 - a2 * v1
 
-    energy = new_energy
-    alive_new = (alive_b & jnp.logical_not(missed)
-                 & ((energy[0:1, :] > 0) | (energy[1:2, :] > 0)
-                    | (energy[2:3, :] > 0)))
+            binorm = norm3(cross3(axis, tang))
+            new_dir = (tang * (cos_phi * sin_t) + binorm * (sin_phi * sin_t)
+                       + axis * cos_t)
+            f = (alpha + 2.0) / (alpha + 1.0)
+            nd = (n[0:1, :] * new_dir[0:1, :] + n[1:2, :] * new_dir[1:2, :]
+                  + n[2:3, :] * new_dir[2:3, :])
+            w_spec_s = jnp.clip(nd * f, 0.0, 1.0) \
+                / jnp.maximum(spec_chance, 1e-8)
+            lobe = jnp.where(is_spec, spec * w_spec_s,
+                             jnp.where(is_diff,
+                                       albedo / jnp.maximum(diff_chance, 1e-8),
+                                       0.0))
+            pos = ro + t * rd
+            contrib = jnp.where(missed, 0.0, energy * emis)
+            new_energy = jnp.where(missed, 0.0, energy * lobe)
+            new_ro = jnp.where(missed, ro, pos + n * 0.001)
+            new_dir = jnp.where(missed, rd, new_dir)
 
-    if use_rr:
-        # Unbiased Russian roulette from bounce 3 (render.py bounce loop).
-        do_rr = (b >= 2) & (b < bounces - 1)
-        u_rr = uni_ref[0, 0, 4:5, :]
-        p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0:1, :],
-                                                  energy[1:2, :]),
-                                      energy[2:3, :]), 0.05, 1.0)
-        keep = u_rr < p_surv
-        boost = jnp.where(keep, 1.0 / p_surv, 0.0)
-        rr_scale = jnp.where(do_rr, boost, 1.0)
-        energy = energy * rr_scale
-        alive_new = alive_new & (keep | jnp.logical_not(do_rr))
+        record = missed & alive_b
+        # Radiance/energy/ray updates need no alive gating: a dead ray reached
+        # shade with t = F32_MAX => missed, zero contrib/energy, ray preserved.
+        ST[24:27, :] = ST[24:27, :] + contrib
+        ST[32:35, :] = jnp.where(record, energy, ST[32:35, :])
+        ST[40:43, :] = jnp.where(record, rd, ST[40:43, :])
+        ST[0:3, :] = new_ro
+        ST[8:11, :] = new_dir
 
-    ST[16:19, :] = energy
-    ST[48:49, :] = alive_new.astype(jnp.float32)
+        energy = new_energy
+        alive_new = (alive_b & jnp.logical_not(missed)
+                     & ((energy[0:1, :] > 0) | (energy[1:2, :] > 0)
+                        | (energy[2:3, :] > 0)))
 
-    # Outputs: rewritten every bounce of the step; the b == bounces-1 values
-    # are what lands in HBM (the out block index is constant in b).
-    for refs, r0 in (((rad0_ref, rad1_ref, rad2_ref), 24),
-                     ((se0_ref, se1_ref, se2_ref), 32),
-                     ((sd0_ref, sd1_ref, sd2_ref), 40)):
-        for k, ref in enumerate(refs):
-            ref[0, 0:1, :] = ST[r0 + k:r0 + k + 1, :]
+        if use_rr:
+            # Unbiased Russian roulette from bounce 3 (render.py bounce loop).
+            do_rr = (b >= 2) & (b < bounces - 1)
+            u_rr = uni_ref[0, 0, 4:5, :]
+            p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0:1, :],
+                                                      energy[1:2, :]),
+                                          energy[2:3, :]), 0.05, 1.0)
+            keep = u_rr < p_surv
+            boost = jnp.where(keep, 1.0 / p_surv, 0.0)
+            rr_scale = jnp.where(do_rr, boost, 1.0)
+            energy = energy * rr_scale
+            alive_new = alive_new & (keep | jnp.logical_not(do_rr))
+
+        ST[16:19, :] = energy
+        ST[48:49, :] = alive_new.astype(jnp.float32)
+
+        # Outputs: rewritten every bounce of the step; the b == bounces-1 values
+        # are what lands in HBM (the out block index is constant in b).
+        for refs, r0 in (((rad0_ref, rad1_ref, rad2_ref), 24),
+                         ((se0_ref, se1_ref, se2_ref), 32),
+                         ((sd0_ref, sd1_ref, sd2_ref), 40)):
+            for k, ref in enumerate(refs):
+                ref[0, 0:1, :] = ST[r0 + k:r0 + k + 1, :]
 
 
 def path_trace(pa, ro, rd, uni, cfg, interpret: bool):

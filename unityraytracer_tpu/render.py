@@ -64,6 +64,24 @@ def get_tracer(scene: Scene, cfg: RenderConfig, accel=None) -> Callable:
     raise ValueError(f"unknown tracer {cfg.tracer!r}")
 
 
+def _rr_uniform(key, cfg: RenderConfig, spp: int, h: int, W: int,
+                row0: int, to_blocks: Callable) -> jnp.ndarray:
+    """Russian-roulette uniforms, per ray or shared per (8, 128)-pixel
+    group (cfg.rr_group == "step"). Groups are defined on ABSOLUTE output
+    coordinates, so every tracer path and every sharded band draws identical
+    decisions; the broadcast construction needs no gathers."""
+    N = spp * h * W
+    if cfg.rr_group != "step":
+        return to_blocks(jax.random.uniform(key, (N,)))
+    Hg = (cfg.height + 7) // 8
+    Wg = (W + 127) // 128
+    ug = jax.random.uniform(key, (spp, Hg, Wg))
+    full = jnp.broadcast_to(ug[:, :, None, :, None],
+                            (spp, Hg, 8, Wg, 128)) \
+        .reshape(spp, Hg * 8, Wg * 128)
+    return to_blocks(full[:, row0:row0 + h, :W].reshape(N))
+
+
 def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
                   cfg: RenderConfig, row0: int = 0,
                   rows: Optional[int] = None) -> jnp.ndarray:
@@ -173,7 +191,8 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
             # that directly into skipped kernel tiles. (The reference never
             # terminates by throughput: its lobe chances are normalized to
             # sum to 1, compute:392-394 — rays only die by missing.)
-            u_rr = uniform(jax.random.fold_in(kb, 3))
+            u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
+                               row0, to_blocks)
             p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0], energy[1]),
                                           energy[2]), 0.05, 1.0)
             keep = u_rr < p_surv
@@ -275,8 +294,9 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
     # megakernel's estimator stream-identical to the oracle's.
     def bounce_rows(b):
         kb = jax.random.fold_in(k_bounce, b)
-        u_r, u1, u2, u_rr = (uniform(jax.random.fold_in(kb, i))
-                             for i in range(4))
+        u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i)) for i in range(3))
+        u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
+                           row0, to_blocks)
         two_pi = 2.0 * 3.14159265
         return jnp.stack([u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
                           jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr],
