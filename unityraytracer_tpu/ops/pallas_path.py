@@ -225,29 +225,19 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
             cos_t = jnp.exp2(log2_u1 / jnp.where(is_spec, alpha + 1.0, 2.0))
             sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
-            def norm3(v):
-                d2 = (v[0:1, :] * v[0:1, :] + v[1:2, :] * v[1:2, :]
-                      + v[2:3, :] * v[2:3, :])
-                return v * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
-
-            # Tangent frame (GetTangentSpace, compute:89-100): the helper axis
-            # is axis-aligned, so cross(axis, helper) reduces to component
-            # shuffles with sign flips.
-            use_z = jnp.abs(axis[0:1, :]) > 0.99
-            zero1 = jnp.zeros_like(use_z, jnp.float32)
-            tang = norm3(jnp.concatenate(
-                [jnp.where(use_z, axis[1:2, :], zero1),
-                 jnp.where(use_z, -axis[0:1, :], axis[2:3, :]),
-                 jnp.where(use_z, zero1, -axis[1:2, :])], axis=0))
-
-            def cross3(a, v):
-                a1 = jnp.concatenate([a[1:2, :], a[2:3, :], a[0:1, :]], axis=0)
-                a2 = jnp.concatenate([a[2:3, :], a[0:1, :], a[1:2, :]], axis=0)
-                v1 = jnp.concatenate([v[1:2, :], v[2:3, :], v[0:1, :]], axis=0)
-                v2 = jnp.concatenate([v[2:3, :], v[0:1, :], v[1:2, :]], axis=0)
-                return a1 * v2 - a2 * v1
-
-            binorm = norm3(cross3(axis, tang))
+            # Branchless Frisvad/Pixar orthonormal frame — mirrors
+            # ops/sampling.py:tangent_frame op-for-op (same MC streams as
+            # the XLA bounce loop); replaces the helper-axis double-cross
+            # (~14 fewer row ops; frame-time neutral on the bench scene —
+            # see the sampling.py docstring for the measurement).
+            ax0, ax1, ax2 = axis[0:1, :], axis[1:2, :], axis[2:3, :]
+            s_ = jnp.where(ax2 >= 0.0, 1.0, -1.0)
+            a_ = -1.0 / (s_ + ax2)
+            b_ = ax0 * ax1 * a_
+            tang = jnp.concatenate(
+                [1.0 + s_ * ax0 * ax0 * a_, s_ * b_, -s_ * ax0], axis=0)
+            binorm = jnp.concatenate(
+                [b_, s_ + ax1 * ax1 * a_, -ax1], axis=0)
             new_dir = (tang * (cos_phi * sin_t) + binorm * (sin_phi * sin_t)
                        + axis * cos_t)
             f = (alpha + 2.0) / (alpha + 1.0)
