@@ -1,5 +1,7 @@
 """Pallas trace kernel tests (interpret mode on CPU) + wavefront parking."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -274,6 +276,11 @@ def test_probe_and_mode_flags_ship_safe():
     assert pt.TRACK_WINNERS is False
     assert pt.EPILOGUE_LITE is False
     assert pt.EPILOGUE_MODE == "full"
+    # Measured on v5e: deferring the attribute epilogue to one resolve pass
+    # per distinct winning cluster LOST 13% (238.5 vs 210.7 ms) — the
+    # per-hit-pass cost is the gate/serialization, not the attribute dot.
+    # The mode stays available (and oracle-tested) but must ship OFF.
+    assert pt.EPILOGUE_DEFER is False
     assert pt.REGATE is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
@@ -361,3 +368,90 @@ def test_traversal_modes_match_brute(trav, page_axes):
     assert pa.trav == trav and pa.page_axes == page_axes
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+@pytest.mark.parametrize("trav", ["bitmask"])
+def test_deferred_epilogue_matches_brute(trav, monkeypatch):
+    # EPILOGUE_DEFER records only (truncated t, winning cluster id) per hit
+    # pass and resolves attributes once per distinct winning cluster after
+    # the sweep — the resolved image must match the oracle exactly like the
+    # immediate epilogue does, on every traversal ordering.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "EPILOGUE_DEFER", True)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav=trav)
+    ro, rd = _rays(2 * TILE + 37, seed=13)
+    _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+@pytest.mark.skipif(not os.environ.get("UNITY_TPU_SLOW_TESTS"),
+                    reason="defer-mode multi-page interpret compile takes "
+                           ">30 min on CPU; EPILOGUE_DEFER ships OFF "
+                           "(measured 13% TPU loss) so this guard is "
+                           "opt-in: UNITY_TPU_SLOW_TESTS=1")
+def test_deferred_epilogue_multi_page(monkeypatch):
+    # Deferred resolution re-derives the winner from a GLOBAL cluster id:
+    # the multi-page block-offset arithmetic (epluck/chan at c*24 / c*72
+    # rows) must land on the same cluster the sweep recorded.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "EPILOGUE_DEFER", True)
+    b = SceneBuilder()
+    v, f, n = P.icosphere(3)
+    rng = np.random.default_rng(1)
+    for i in range(16):
+        pos = rng.uniform(-6, 6, 3)
+        pos[1] = abs(pos[1]) + 0.5
+        b.add_mesh(v, f, transform=trs_matrix(tuple(pos), (0, 0, 0), 1.0),
+                   material=Material(albedo=(0.1 + 0.05 * i, 0.9 - 0.05 * i,
+                                             0.2 + 0.03 * i)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    ro, rd = _rays(512, seed=5, spread=7.0)
+    hb = trace_brute(scene, ro, rd)
+    hp = make_pallas_tracer(scene, accel, CFG, interpret=True)(ro, rd)
+    tb = np.asarray(hb.t)
+    np.testing.assert_allclose(tb, np.asarray(hp.t), rtol=1e-4, atol=1e-4)
+    hit = np.isfinite(tb) & (tb < 1e30)
+    assert hit.sum() > 50
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(hb.albedo[k])[hit],
+                                      np.asarray(hp.albedo[k])[hit])
+        np.testing.assert_allclose(np.asarray(hb.normal[k])[hit],
+                                   np.asarray(hp.normal[k])[hit], atol=1e-3)
+
+
+def test_bounce_split_matches_unsplit():
+    # The bounce-split driver (full-width bounces [0,2), compacted deep
+    # bounces) gathers its uniforms by ORIGINAL ray index, so every ray
+    # computes exactly the same path as the unsplit megakernel — images
+    # must agree to float-add noise. bounces=5 makes RR fire inside the
+    # compacted segment; the binning window (1,2) straddles the split.
+    from unityraytracer_tpu.render import render_sample_mega
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=64 / 48)
+    cfg0 = RenderConfig(width=64, height=48, spp=1, bounces=5,
+                        tracer="pallas", russian_roulette=True)
+    cfg1 = cfg0.replace(split_bounce=2, split_frac=0.75)
+    key = jax.random.key(11)
+    img0 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg0))
+    img1 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg1))
+    assert np.isfinite(img1).all()
+    np.testing.assert_allclose(img0, img1, rtol=0, atol=1e-5)
+
+
+def test_bounce_split_overflow_stays_finite():
+    # More survivors than the compact capacity: overflow rays are dropped
+    # (documented bias) but the render must stay finite and keep every
+    # segment-1 contribution (image >= 0, no NaN).
+    from unityraytracer_tpu.render import render_sample_mega
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=64 / 48)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=5,
+                       tracer="pallas", russian_roulette=True,
+                       split_bounce=1, split_frac=1e-9)  # C = one block
+    key = jax.random.key(11)
+    img = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
+    assert np.isfinite(img).all() and (img >= 0).all()

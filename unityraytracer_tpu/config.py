@@ -77,6 +77,22 @@ class RenderConfig:
     # in VMEM. Applies to tracer="pallas"; the bounce-loop path remains for
     # every other tracer (and as the reference implementation).
     megakernel: bool = True
+    # Bounce-split ray compaction (megakernel only). After bounce
+    # ``split_bounce`` the surviving-ray population collapses (~2% on the
+    # bench scene at bounce 2) but every 1024-ray step still holds a few
+    # survivors, so the deep bounces cost nearly full-width kernel time.
+    # When set, the megakernel runs bounces [0, split_bounce) at full
+    # width, compacts the alive rays into a static buffer of
+    # ceil(N * split_frac) rays (cumsum destinations + one packed (16, N)
+    # trailing-axis gather — RNG stays keyed on the ORIGINAL ray index, so
+    # the estimator stream is bit-identical to the unsplit kernel), and
+    # finishes bounces [split_bounce, bounces) on the compact buffer.
+    # None disables. If more than split_frac*N rays survive the split
+    # bounce, the overflow rays are dropped (their remaining contribution
+    # is lost — a documented bias); size split_frac for the scene, or
+    # leave splitting off. The brute/bvh/cluster oracles are unaffected.
+    split_bounce: Optional[int] = None
+    split_frac: float = 0.125
 
     @property
     def num_pixels(self) -> int:

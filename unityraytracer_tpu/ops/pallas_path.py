@@ -56,10 +56,10 @@ MISS = 1.0e30  # matches ops/shade.py MISS_T
 ABLATE = frozenset()
 
 
-def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
-                 order_ax, trav, bin_scheme, chan_mode, page_axes,
+def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
+                 bbox, geom, order_ax, trav, bin_scheme, chan_mode, page_axes,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-                 alive0_ref, uni_ref,
+                 alive0_ref, e0x_ref, e0y_ref, e0z_ref, uni_ref,
                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
                  pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
                  pgaxd_ref,
@@ -70,13 +70,28 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
                  rad0_ref, rad1_ref, rad2_ref,
                  se0_ref, se1_ref, se2_ref,
                  sd0_ref, sd1_ref, sd2_ref,
-                 S, ST, A_ref, P_ref, H_ref):
+                 *rest):
     """One (step, bounce) grid cell. ST state lives in 8-ALIGNED (3, B)
     blocks (Mosaic assigns per-row sublane offsets; aligned blocks keep
     Vec3 math relayout-free): rows 0-2 ro, 8-10 rd, 16-18 energy, 24-26
-    radiance, 32-34 sky_e, 40-42 sky_d, 48 alive."""
+    radiance, 32-34 sky_e, 40-42 sky_d, 48 alive.
+
+    ``b0``/``bounces``: this call runs LOCAL bounces 0..grid-1 that are
+    GLOBAL bounces b0..b0+grid-1 of a ``bounces``-deep path — the bounce-
+    split driver (render.py:render_sample_mega) runs bounces [0, sb) at
+    full width, compacts the ~2% of rays still alive, and runs [sb, B) on
+    the compact buffer. All bounce-indexed predicates (binning window,
+    Russian-roulette range) use the global index, and ``emit_state`` adds a
+    (16, B) packed state output (ro/rd/energy/alive) for the hand-off.
+    """
+    if emit_state:
+        st_ref = rest[0]
+        S, ST, A_ref, P_ref, H_ref = rest[1:]
+    else:
+        S, ST, A_ref, P_ref, H_ref = rest
     B = pt.BLOCK
     b = pl.program_id(1)
+    bg = b + b0                      # global bounce index
     zero = jnp.zeros((1, B), jnp.float32)
 
     # Step-level early-out: once every ray of this 1024-ray step is dead
@@ -96,7 +111,9 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
             ST[8:9, :] = rdx_ref[0, 0:1, :]
             ST[9:10, :] = rdy_ref[0, 0:1, :]
             ST[10:11, :] = rdz_ref[0, 0:1, :]
-            ST[16:19, :] = jnp.ones((3, B), jnp.float32)      # energy
+            ST[16:17, :] = e0x_ref[0, 0:1, :]                 # energy
+            ST[17:18, :] = e0y_ref[0, 0:1, :]
+            ST[18:19, :] = e0z_ref[0, 0:1, :]
             ST[24:27, :] = jnp.zeros((3, B), jnp.float32)     # radiance
             ST[32:35, :] = jnp.zeros((3, B), jnp.float32)     # sky_e
             ST[40:41, :] = zero                               # sky_d = (0, 1, 0)
@@ -113,7 +130,7 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
             bin_now = None
             A_ref[:] = ins
         else:
-            bin_now = (b >= bin_lo) & (b <= bin_hi)
+            bin_now = (bg >= bin_lo) & (bg <= bin_hi)
 
             @pl.when(bin_now)
             def _sort():
@@ -271,7 +288,7 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
 
         if use_rr:
             # Unbiased Russian roulette from bounce 3 (render.py bounce loop).
-            do_rr = (b >= 2) & (b < bounces - 1)
+            do_rr = (bg >= 2) & (bg < bounces - 1)
             u_rr = uni_ref[0, 0, 4:5, :]
             p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0:1, :],
                                                       energy[1:2, :]),
@@ -285,28 +302,47 @@ def _path_kernel(n_pages, bounces, bin_lo, bin_hi, use_rr, bbox, geom,
         ST[16:19, :] = energy
         ST[48:49, :] = alive_new.astype(jnp.float32)
 
-        # Outputs: rewritten every bounce of the step; the b == bounces-1 values
+        # Outputs: rewritten every bounce of the step; the last-bounce values
         # are what lands in HBM (the out block index is constant in b).
         for refs, r0 in (((rad0_ref, rad1_ref, rad2_ref), 24),
                          ((se0_ref, se1_ref, se2_ref), 32),
                          ((sd0_ref, sd1_ref, sd2_ref), 40)):
             for k, ref in enumerate(refs):
                 ref[0, 0:1, :] = ST[r0 + k:r0 + k + 1, :]
+        if emit_state:
+            # Packed hand-off state for the bounce-split driver: one
+            # (16, B) block per step -> a single cheap trailing-axis gather
+            # moves the whole surviving-ray state to the compact buffer.
+            st_ref[0, 0:3, :] = ST[0:3, :]        # ro
+            st_ref[0, 3:6, :] = ST[8:11, :]       # rd
+            st_ref[0, 6:9, :] = ST[16:19, :]      # energy (post-RR)
+            st_ref[0, 9:10, :] = ST[48:49, :]     # alive
+            st_ref[0, 10:16, :] = jnp.zeros((6, B), jnp.float32)
 
 
-def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
-    """Trace + shade full paths for all rays in one pallas_call.
+def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
+               nb: int = None, energy0=None, alive0=None,
+               emit_state: bool = False):
+    """Trace + shade path bounces [b0, b0+nb) for all rays in one
+    pallas_call.
 
-    ro/rd: Vec3 tuples of (N,) camera rays (block order). ``uni``: (bounces,
-    5, N) uniform rows in the same ray order — (roulette, log2(u1),
-    cos(2*pi*u2), sin(2*pi*u2), rr). Returns (radiance, sky_energy,
-    sky_dir): three Vec3 tuples of (N,).
+    ro/rd: Vec3 tuples of (N,) rays (block order). ``uni``: (nb, 5, N)
+    uniform rows in the same ray order — (roulette, log2(u1), cos(2*pi*u2),
+    sin(2*pi*u2), rr) for the LOCAL bounce range. ``energy0``/``alive0``:
+    optional (N,) initial throughput / liveness (bounce-split resume state;
+    default fresh paths). Returns (radiance, sky_energy, sky_dir): three
+    Vec3 tuples of (N,) — plus, when ``emit_state``, a (16, N) packed
+    resume state (rows 0-2 ro, 3-5 rd, 6-8 energy, 9 alive).
     """
     N = ro[0].shape[0]
     B = pt.BLOCK
     bounces = cfg.bounces
+    nb = bounces if nb is None else nb
     pad = (-N) % B
-    alive0 = jnp.ones((N,), jnp.float32)
+    if alive0 is None:
+        alive0 = jnp.ones((N,), jnp.float32)
+    if energy0 is None:
+        energy0 = tuple(jnp.ones((N,), jnp.float32) for _ in range(3))
     if pad:
         zpad = jnp.zeros((pad,), jnp.float32)
         ro = tuple(jnp.concatenate([c, zpad]) for c in ro)
@@ -314,20 +350,21 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
               jnp.concatenate([rd[1], zpad - 1.0]),
               jnp.concatenate([rd[2], zpad]))
         alive0 = jnp.concatenate([alive0, zpad])
+        energy0 = tuple(jnp.concatenate([c, zpad]) for c in energy0)
         uni = jnp.concatenate(
-            [uni, jnp.zeros((bounces, 5, pad), jnp.float32)], axis=2)
+            [uni, jnp.zeros((nb, 5, pad), jnp.float32)], axis=2)
     Np = N + pad
     n_steps = Np // B
 
     def comp(a):
         return a.reshape(n_steps, 1, B)
 
-    ray_in = [comp(c) for c in (*ro, *rd, alive0)]
-    # (n_steps, bounces, 8, B): rows 0-4 = uniform rows, 5-7 pad (block
+    ray_in = [comp(c) for c in (*ro, *rd, alive0, *energy0)]
+    # (n_steps, nb, 8, B): rows 0-4 = uniform rows, 5-7 pad (block
     # specs need a sublane dim % 8).
     uni8 = jnp.concatenate(
-        [uni, jnp.zeros((bounces, 3, Np), jnp.float32)], axis=1)
-    uni_steps = jnp.transpose(uni8.reshape(bounces, 8, n_steps, B),
+        [uni, jnp.zeros((nb, 3, Np), jnp.float32)], axis=1)
+    uni_steps = jnp.transpose(uni8.reshape(nb, 8, n_steps, B),
                               (2, 0, 1, 3))
 
     ray_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
@@ -344,17 +381,23 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
         # the bounce loop's predicate in render.py:render_sample.
         lo = hi = None
     kernel = functools.partial(
-        _path_kernel, pa.n_pages, bounces, lo, hi, cfg.russian_roulette,
-        pa.bbox, pa.geom, pa.order_ax, pa.trav, pa.bin_scheme, pa.chan_mode,
-        pa.page_axes)
+        _path_kernel, pa.n_pages, bounces, b0, emit_state, lo, hi,
+        cfg.russian_roulette, pa.bbox, pa.geom, pa.order_ax, pa.trav,
+        pa.bin_scheme, pa.chan_mode, pa.page_axes)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]
+    out_specs = [out_spec] * 9
+    if emit_state:
+        out_shape.append(jax.ShapeDtypeStruct((n_steps, 16, B), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 16, B), lambda i, b: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_steps, bounces),
-        in_specs=[ray_spec] * 7 + [uni_spec] + [full()] * (6 + 7 + 6 + 6 + 3),
-        out_specs=[out_spec] * 9,
+        grid=(n_steps, nb),
+        in_specs=[ray_spec] * 10 + [uni_spec]
+        + [full()] * (6 + 7 + 6 + 6 + 3),
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((pt.SROWS, B), jnp.float32),
                         pltpu.VMEM((56, B), jnp.float32),
@@ -366,5 +409,9 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool):
     )(*ray_in, uni_steps, *pa.gs, *pa.pgb, pa.pgaxd, *pa.cl_cols,
       *pa.cb_rows, pa.epluck, pa.eplane, pa.chan)
 
-    outs = tuple(o.reshape(Np)[:N] for o in outs)
-    return outs[0:3], outs[3:6], outs[6:9]
+    flat = tuple(o.reshape(Np)[:N] for o in outs[0:9])
+    ret = (flat[0:3], flat[3:6], flat[6:9])
+    if emit_state:
+        state = jnp.transpose(outs[9], (1, 0, 2)).reshape(16, Np)[:, :N]
+        return ret + (state,)
+    return ret

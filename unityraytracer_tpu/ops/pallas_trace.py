@@ -160,6 +160,19 @@ ROW_N, ROW_ALB, ROW_SPC, ROW_EMI, ROW_SMO = 8, 16, 24, 32, 40
 # step-level batched attribute resolver would pay off).
 TRACK_WINNERS = False
 
+# Deferred winner-attribute epilogue (fused geometry modes only): hit passes
+# record just the lane-truncated winner t + winning cluster id (two masked
+# row writes); after the page sweep a short while_loop re-runs the fused
+# dots and the full epilogue ONCE per distinct winning cluster per tile.
+# TRACK_WINNERS measured ~40% of hit passes as transient winners and ~2-4
+# distinct winning clusters per tile vs ~17 hit passes — deferral trades
+# ~17 attribute matmul + reduce + 5-block-write epilogues for ~3, at the
+# cost of one extra fused dot per distinct winner.
+EPILOGUE_DEFER = False
+# Debug aid: run the deferred sweep but skip the resolver (t stays
+# lane-truncated, attributes stale) — bisects defer bugs to sweep/resolve.
+DEFER_RESOLVE = True
+
 
 def _col(row):
     """(1, 128) row -> (128, 1) column (Mosaic-supported transpose)."""
@@ -642,6 +655,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     trav = trav or TRAV_MODE
     chan_mode = chan_mode or CHAN_MODE
     page_axes = PAGE_AXES if page_axes is None else page_axes
+    defer = (EPILOGUE_DEFER and not EPILOGUE_LITE
+             and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
+    assert not (defer and TRACK_WINNERS), \
+        "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
      pgaxd_ref) = pg_refs
     (cxmin_ref, cymin_ref, czmin_ref,
@@ -879,98 +896,176 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     S[0:1, ls] = jnp.where(closer, t_win, S[0:1, ls])
                     return
 
-                # Winner attribute selection: pick is one-hot over triangles
-                # for every ray column (lane bits make keys unique), so one
-                # MXU matmul of the packed per-cluster attribute block
-                # (NCHAN, tris) against pick (tris, rays) yields each
-                # winner's attributes.
-                pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
-                if EPILOGUE_MODE in ("no_chan", "no_dot"):  # perf probe only
-                    sel = jnp.zeros((NCHAN, TILE), jnp.float32)
-                elif EPILOGUE_MODE == "static_chan":        # perf probe only
-                    sel3 = jax.lax.dot_general(
-                        chan_ref[0:3 * NCHAN, :], pick,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                           + sel3[2 * NCHAN:3 * NCHAN, :])
-                elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
-                        and chan_mode != "split3":
-                    chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                          NCHAN), :]
-                    sel = jnp.dot(chan, pick,
-                                  precision=jax.lax.Precision.HIGHEST,
-                                  preferred_element_type=jnp.float32)
-                elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
-                    # Attribute block stored as the three bf16 components
-                    # [h; m; l] — an EXACT decomposition (24 mantissa bits =
-                    # 3 x 8, and h+m, m+l, and the total are all exactly
-                    # representable, so the f32 accumulation reconstructs the
-                    # original attribute bit-for-bit). One default-precision
-                    # dot (pick is exact 0/1), thirds summed.
-                    cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
-                                          3 * NCHAN), :]
-                    sel3 = jax.lax.dot_general(
-                        cblk, pick, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
-                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                           + sel3[2 * NCHAN:3 * NCHAN, :])
-                else:
-                    chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                          NCHAN), :]
-                    # HIGHEST: default MXU precision would truncate the
-                    # selected normals/materials to bf16.
-                    sel = jnp.dot(chan, pick,
-                                  precision=jax.lax.Precision.HIGHEST,
-                                  preferred_element_type=jnp.float32)
-                # Exact t and barycentrics of the winner (removes the key
-                # truncation): one masked reduce each. Barycentrics from the
-                # edge values: u = e20/sum, v = e01/sum.
-                if EPILOGUE_MODE == "no_reduce":      # perf probe only
-                    t_sel = t_win
-                    u_sel = jnp.full_like(t_win, 0.33)
-                    v_sel = jnp.full_like(t_win, 0.33)
-                else:
-                    ssum = e01 + e12 + e20
-                    inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
-                    t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
-                                    keepdims=True)
-                    u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0),
-                                    axis=0, keepdims=True)
-                    v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0),
-                                    axis=0, keepdims=True)
-                w_sel = 1.0 - u_sel - v_sel
-                if EPILOGUE_MODE == "no_chan":        # perf probe only
-                    S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+                if defer:
+                    # Deferred epilogue: record only the lane-truncated
+                    # winner t and the winning cluster id (two masked row
+                    # writes); the attribute matmul + exact t/u/v reduces run
+                    # ONCE per distinct winning cluster per tile in
+                    # _resolve_deferred after the page sweep. Measured ~40%
+                    # of hit passes are transient winners later beaten — with
+                    # deferral their full epilogues are never computed.
+                    S[0:1, ls] = jnp.where(closer, t_win, S[0:1, ls])
+                    S[ROW_WC:ROW_WC + 1, ls] = jnp.where(
+                        closer,
+                        (c + 1).astype(jnp.float32) + jnp.zeros_like(t_win),
+                        S[ROW_WC:ROW_WC + 1, ls])
                     return
-                # Smooth normal: barycentric blend of the winner's vertex
-                # normals (channels 0-8 are n0/n1/n2 xyz), normalized, then
-                # written as ONE stacked (3, rays) block — as are the
-                # material channels (see the SROWS layout note).
-                n_new = (sel[0:3, :] * w_sel + sel[3:6, :] * u_sel
-                         + sel[6:9, :] * v_sel)
-                d2 = (n_new[0:1, :] * n_new[0:1, :]
-                      + n_new[1:2, :] * n_new[1:2, :]
-                      + n_new[2:3, :] * n_new[2:3, :])
-                n_new = n_new * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
-                S[ROW_N:ROW_N + 3, ls] = jnp.where(
-                    closer, n_new, S[ROW_N:ROW_N + 3, ls])
-                S[ROW_ALB:ROW_ALB + 3, ls] = jnp.where(
-                    closer, sel[9:12, :], S[ROW_ALB:ROW_ALB + 3, ls])
-                S[ROW_SPC:ROW_SPC + 3, ls] = jnp.where(
-                    closer, sel[12:15, :], S[ROW_SPC:ROW_SPC + 3, ls])
-                S[ROW_EMI:ROW_EMI + 3, ls] = jnp.where(
-                    closer, sel[15:18, :], S[ROW_EMI:ROW_EMI + 3, ls])
-                S[ROW_SMO:ROW_SMO + 1, ls] = jnp.where(
-                    closer, sel[18:19, :], S[ROW_SMO:ROW_SMO + 1, ls])
-                S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+
+                _attr_epilogue(c, e01, e12, e20, t, key, win_key, closer)
                 if TRACK_WINNERS:
                     # 1-based so the zero-initialized row means "no winner"
                     # (the emitted channel subtracts 1 back).
                     S[ROW_WC:ROW_WC + 1, ls] = jnp.where(
                         closer,
-                        (c + 1).astype(jnp.float32) + jnp.zeros_like(t_sel),
+                        (c + 1).astype(jnp.float32) + jnp.zeros_like(t_win),
                         S[ROW_WC:ROW_WC + 1, ls])
+
+        def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
+            """Attribute matmul + exact t/u/v reduces + channel writes for
+            the rays selected by ``mask`` (whose winner is in cluster c)."""
+            # Winner attribute selection: pick is one-hot over triangles
+            # for every ray column (lane bits make keys unique), so one
+            # MXU matmul of the packed per-cluster attribute block
+            # (NCHAN, tris) against pick (tris, rays) yields each
+            # winner's attributes.
+            pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
+            if EPILOGUE_MODE in ("no_chan", "no_dot"):  # perf probe only
+                sel = jnp.zeros((NCHAN, TILE), jnp.float32)
+            elif EPILOGUE_MODE == "static_chan":        # perf probe only
+                sel3 = jax.lax.dot_general(
+                    chan_ref[0:3 * NCHAN, :], pick,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
+                    and chan_mode != "split3":
+                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                      NCHAN), :]
+                sel = jnp.dot(chan, pick,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
+                # Attribute block stored as the three bf16 components
+                # [h; m; l] — an EXACT decomposition (24 mantissa bits =
+                # 3 x 8, and h+m, m+l, and the total are all exactly
+                # representable, so the f32 accumulation reconstructs the
+                # original attribute bit-for-bit). One default-precision
+                # dot (pick is exact 0/1), thirds summed.
+                cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
+                                      3 * NCHAN), :]
+                sel3 = jax.lax.dot_general(
+                    cblk, pick, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+            else:
+                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                      NCHAN), :]
+                # HIGHEST: default MXU precision would truncate the
+                # selected normals/materials to bf16.
+                sel = jnp.dot(chan, pick,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            # Exact t and barycentrics of the winner (removes the key
+            # truncation): one masked reduce each. Barycentrics from the
+            # edge values: u = e20/sum, v = e01/sum.
+            if EPILOGUE_MODE == "no_reduce":      # perf probe only
+                t_sel = jax.lax.bitcast_convert_type(
+                    jnp.bitwise_and(win_key, ~LANE_MASK), jnp.float32)
+                u_sel = jnp.full_like(t_sel, 0.33)
+                v_sel = jnp.full_like(t_sel, 0.33)
+            else:
+                ssum = e01 + e12 + e20
+                inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
+                t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
+                                keepdims=True)
+                u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0),
+                                axis=0, keepdims=True)
+                v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0),
+                                axis=0, keepdims=True)
+            w_sel = 1.0 - u_sel - v_sel
+            if EPILOGUE_MODE == "no_chan":        # perf probe only
+                S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
+                return
+            # Smooth normal: barycentric blend of the winner's vertex
+            # normals (channels 0-8 are n0/n1/n2 xyz), normalized, then
+            # written as ONE stacked (3, rays) block — as are the
+            # material channels (see the SROWS layout note).
+            n_new = (sel[0:3, :] * w_sel + sel[3:6, :] * u_sel
+                     + sel[6:9, :] * v_sel)
+            d2 = (n_new[0:1, :] * n_new[0:1, :]
+                  + n_new[1:2, :] * n_new[1:2, :]
+                  + n_new[2:3, :] * n_new[2:3, :])
+            n_new = n_new * jax.lax.rsqrt(jnp.maximum(d2, 1e-20))
+            S[ROW_N:ROW_N + 3, ls] = jnp.where(
+                mask, n_new, S[ROW_N:ROW_N + 3, ls])
+            S[ROW_ALB:ROW_ALB + 3, ls] = jnp.where(
+                mask, sel[9:12, :], S[ROW_ALB:ROW_ALB + 3, ls])
+            S[ROW_SPC:ROW_SPC + 3, ls] = jnp.where(
+                mask, sel[12:15, :], S[ROW_SPC:ROW_SPC + 3, ls])
+            S[ROW_EMI:ROW_EMI + 3, ls] = jnp.where(
+                mask, sel[15:18, :], S[ROW_EMI:ROW_EMI + 3, ls])
+            S[ROW_SMO:ROW_SMO + 1, ls] = jnp.where(
+                mask, sel[18:19, :], S[ROW_SMO:ROW_SMO + 1, ls])
+            S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
+
+        def _resolve_deferred():
+            """Run the full attribute epilogue once per DISTINCT winning
+            cluster in this tile (deferred-epilogue mode).
+
+            After the page sweep, S[ROW_WC] holds each ray's winning cluster
+            id + 1 (0 = ground/sphere/miss — their attributes were seeded by
+            _ground_sphere_init and must not be touched). Each iteration
+            resolves the highest remaining id: re-runs that cluster's fused
+            dots, re-derives the per-ray winner key (the min over the
+            cluster's accepting triangles IS the final winner — nothing else
+            in the cluster beats it, and the best-t race is already settled),
+            then runs the shared epilogue masked to the rays this cluster
+            won. The max strictly decreases every iteration, so the loop
+            runs exactly (distinct winning clusters) times — measured ~2-4
+            per 128-ray tile vs ~17 hit passes.
+            """
+            # The loop condition must be PURE ON THE CARRY: a Pallas
+            # while_loop cond cannot observe ref mutations (a cond that
+            # reads S sees the loop-entry value forever, spins to the
+            # bound, and the cf == 0 iterations then mask EVERY
+            # ground/miss ray and overwrite it with garbage — a measured
+            # 58-ray corruption on the test scene). The next cluster id
+            # is therefore computed in the body AFTER clearing and
+            # carried out.
+            def cond(carry):
+                i, cf = carry
+                return (i < 128) & (cf > 0.5)
+
+            def body(carry):
+                i, cf = carry
+                wc_row = S[ROW_WC:ROW_WC + 1, ls]
+                c = cf.astype(jnp.int32) - 1
+                e_all, tnd = fused_dots(c)
+                e01 = e_all[0:KSIZE, :]
+                e12 = e_all[KSIZE:2 * KSIZE, :]
+                e20 = e_all[2 * KSIZE:3 * KSIZE, :]
+                t_num = tnd[:, 0:TILE]
+                t_den = tnd[:, TILE:2 * TILE]
+                front = t_den <= -1e-8
+                e_max = jnp.maximum(jnp.maximum(e01, e12), e20)
+                ok = front & (e_max <= 0.0) & (t_num < 0.0)
+                t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
+                t_bits = jax.lax.bitcast_convert_type(
+                    jnp.where(ok, t, _F32_MAX), jnp.int32)
+                key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LANE_MASK),
+                                     sub_mat)
+                win_key = jnp.min(key, axis=0, keepdims=True)
+                mask = wc_row == cf
+                _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask)
+                cleared = jnp.where(mask, 0.0, wc_row)
+                S[ROW_WC:ROW_WC + 1, ls] = cleared
+                return i + 1, jnp.max(cleared)
+
+            jax.lax.while_loop(cond, body,
+                               (jnp.int32(0),
+                                jnp.max(S[ROW_WC:ROW_WC + 1, ls])))
 
         def page_cols(g):
             bmin = tuple(_col(cref[g, :].reshape(1, PAGE))
@@ -1049,6 +1144,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             pg_entry = _outer_aabb_entry(ro, inv, pg_bmin, pg_bmax, best_t())
             pcol = jnp.min(pg_entry, axis=1, keepdims=True)     # (PW, 1)
             _visit_by_distance(pcol, best_t, page_pass)
+            if defer and DEFER_RESOLVE:
+                _resolve_deferred()
             return
 
         # "bitmask" ordering family: ascending cluster index sweeps the
@@ -1150,6 +1247,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 lambda dg, w=w: page_pass(
                     jnp.where(desc_global, PW - 1 - (w * 32 + dg),
                               w * 32 + dg)))
+        if defer and DEFER_RESOLVE:
+            _resolve_deferred()
 
     for r in range(A.shape[1] // TILE):
         row_body(r)

@@ -230,6 +230,79 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     return img
 
 
+def _path_trace_split(scene, accel, ro, rd, uni, su1, su2, cfg, interpret,
+                      sb: int):
+    """Bounce-split megakernel: full width for bounces [0, sb), then the
+    deep bounces on a compacted alive-ray buffer.
+
+    By bounce 2 only ~2% of rays survive on the bench scene, but survivors
+    are scattered so every 1024-ray step still holds a few — the deep
+    bounces cost near-full-width kernel time (measured ~79 ms of a 211 ms
+    frame). Compaction exchanges that for ~30 ms of XLA data movement:
+    cumsum destinations over the alive mask, ONE packed (16, N)
+    trailing-axis gather of the resume state (measured 4.3 ms at 64k
+    indices vs 3.5 ms for a single scalar-row gather — packing is ~10x
+    cheaper per element), a (5*nb2+2, N) gather of the remaining uniform
+    rows, and a 3-row scatter-add of the compact radiance. The uniforms are
+    gathered BY ORIGINAL RAY INDEX, so the estimator stream is
+    bit-identical to the unsplit megakernel (oracle gates unaffected).
+
+    The compact buffer holds ceil(N*cfg.split_frac) rays; survivors beyond
+    it are dropped (documented bias — see RenderConfig.split_bounce).
+    Deep-bounce sky contributions are resolved IN the compact domain (the
+    environment tap is a per-ray skybox gather, so its cost scales with the
+    compact count) and scatter-added; the returned sky records carry only
+    segment-1 misses (rays that survived into segment 2 have zero recorded
+    sky energy), so the caller's full-width environment pass stays valid.
+    """
+    from .ops.pallas_path import path_trace
+    from .ops import pallas_trace as pt
+
+    N = ro[0].shape[0]
+    B = pt.BLOCK
+    C = max(B, int(np.ceil(N * cfg.split_frac / B)) * B)
+    C = min(C, ((N + B - 1) // B) * B)
+
+    rad1, se1, sd1, st = path_trace(accel, ro, rd, uni[:sb], cfg, interpret,
+                                    nb=sb, emit_state=True)
+    alive = st[9] > 0
+    ordv = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dest = jnp.where(alive, ordv, C)
+    idx = jnp.zeros((C,), jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    slot_live = jnp.arange(C, dtype=jnp.int32) < jnp.minimum(n_alive, C)
+
+    stc = st[:, idx]                          # ONE packed (16, C) gather
+    ro_c = (stc[0], stc[1], stc[2])
+    rd_c = (stc[3], stc[4], stc[5])
+    en_c = (stc[6], stc[7], stc[8])
+    alive_c = jnp.where(slot_live, stc[9], 0.0)
+
+    nb2 = cfg.bounces - sb
+    packed = [uni[sb:].reshape(nb2 * 5, N)]
+    if su1 is not None:
+        packed += [su1[None, :], su2[None, :]]
+    g = jnp.concatenate(packed, axis=0)[:, idx]
+    uni_c = g[:nb2 * 5].reshape(nb2, 5, C)
+
+    rad2, se2, sd2 = path_trace(accel, ro_c, rd_c, uni_c, cfg, interpret,
+                                b0=sb, nb=nb2, energy0=en_c, alive0=alive_c)
+    if su1 is not None:
+        sky_c = sample_skybox_rgbe(scene.skybox, sd2, u1=g[nb2 * 5],
+                                   u2=g[nb2 * 5 + 1],
+                                   packed=scene.skybox_rgbe)
+    else:
+        sky_c = sample_skybox(scene.skybox, sd2)
+    rad_c = vec_ops.add(rad2, vec_ops.mul(se2, sky_c))
+    # Pad slots alias ray 0 but are dead from bounce sb, so they add zeros;
+    # the explicit mask also covers any overflow-dropped garbage.
+    radiance = tuple(
+        rad1[k].at[idx].add(jnp.where(slot_live, rad_c[k], 0.0))
+        for k in range(3))
+    return radiance, se1, sd1
+
+
 def render_sample_mega(scene: Scene, accel, camera: Camera, key,
                        cfg: RenderConfig, row0: int = 0,
                        rows: Optional[int] = None,
@@ -311,12 +384,22 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
     uni = jnp.stack([bounce_rows(b) for b in range(cfg.bounces)],
                     axis=0)                            # (bounces, 5, N)
 
-    radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni, cfg, interpret)
-
     if cfg.sky_rgbe:
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
         su1 = uniform(jax.random.fold_in(ks, 0))
         su2 = uniform(jax.random.fold_in(ks, 1))
+    else:
+        su1 = su2 = None
+
+    sb = cfg.split_bounce
+    if sb is not None and 0 < sb < cfg.bounces:
+        radiance, sky_e, sky_d = _path_trace_split(
+            scene, accel, ro, rd, uni, su1, su2, cfg, interpret, sb)
+    else:
+        radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni, cfg,
+                                            interpret)
+
+    if cfg.sky_rgbe:
         sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
                                  packed=scene.skybox_rgbe)
     else:
