@@ -50,11 +50,14 @@ def main() -> None:
                      fov_y_deg=60.0, aspect=cfg.width / cfg.height)
     from unityraytracer_tpu import Camera
     camera = Camera.create(**camera_kw)
-    # Best of 2: the single shared host core sees multi-second scheduling
-    # stalls when the remote compile service is busy; the min is the real
-    # rebuild latency a dirty-scene frame pays.
+    # One untimed warmup (first call pays ~2 s of one-time numpy ufunc /
+    # BLAS initialization that no steady-state dirty-scene rebuild sees),
+    # then best of 3: the single shared host core suffers multi-second
+    # scheduling stalls when the remote compile service is busy; the min is
+    # the real rebuild latency a dirty-scene frame pays.
+    accel = build_accel(scene, cfg)
     build_s = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         accel = build_accel(scene, cfg)
         build_s = min(build_s, time.time() - t0)

@@ -71,7 +71,7 @@ def test_kernel_matches_brute_non_tile_multiple():
 def test_kernel_matches_brute_coherent_rays():
     # Camera-like coherent tiles (all rays share origin).
     R = 2 * TILE
-    side = int(np.sqrt(R))
+    side = 16                      # divides any power-of-two R >= 256
     uv = np.stack(np.meshgrid(np.linspace(-1, 1, side),
                               np.linspace(-1, 1, R // side)), -1).reshape(-1, 2)
     d = np.concatenate([uv, np.ones((R, 1))], 1).astype(np.float32)

@@ -66,9 +66,19 @@ from .bvh import ClusterAccel
 from .shade import Hit
 from .trace import _ground_candidate, _sphere_candidate, combine_candidates
 
-TILE = 128          # rays per culling tile (= lane width)
-ROWS = 8            # ray tiles per grid step (sublane dim % 8; 16 = no gain)
-BLOCK = ROWS * TILE  # rays per grid step
+import os as _os
+
+# Rays per culling tile. The per-hit-pass fixed cost (~650 cyc of VPU->MXU
+# ->VPU serialization, invariant to dot size) amortizes over the tile width,
+# while the admitted-cluster set per tile grows with the union of its rays'
+# frustums — wider tiles win while rays are coherent enough that the union
+# factor stays under the width ratio. Measured on the 1080p/100k/8b bench
+# (v5e, megakernel): 128 -> 210.5 ms, 256 -> 201.5 ms, 512 -> 223.5 ms;
+# 256 ships. Env override is an A/B probe hook only.
+TILE = int(_os.environ.get("URT_TILE", "256"))
+BLOCK = 1024         # rays per grid step (fixed: megakernel state layout)
+ROWS = BLOCK // TILE  # ray tiles per grid step
+assert TILE % 128 == 0 and BLOCK % TILE == 0
 KSIZE = 128         # triangles per kernel cluster (sublane block; 256 measured 12% slower)
 PAGE = 128          # clusters per page
 MAX_PAGES = 128     # single page-level block => up to 128*128*128 = 2M tris
