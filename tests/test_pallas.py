@@ -281,6 +281,10 @@ def test_probe_and_mode_flags_ship_safe():
     # per-hit-pass cost is the gate/serialization, not the attribute dot.
     # The mode stays available (and oracle-tested) but must ship OFF.
     assert pt.EPILOGUE_DEFER is False
+    # Lagged epilogue measured EXACTLY neutral (202.45 vs 202.46 control)
+    # and any(closer) gating a small loss (206.7): the per-pass cost is not
+    # MXU adjacency or epilogue count — keep both off.
+    assert pt.CLOSER_GATE is False
     assert pt.REGATE is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
@@ -371,13 +375,15 @@ def test_traversal_modes_match_brute(trav, page_axes):
 
 
 @pytest.mark.parametrize("trav", ["bitmask"])
-def test_deferred_epilogue_matches_brute(trav, monkeypatch):
-    # EPILOGUE_DEFER records only (truncated t, winning cluster id) per hit
-    # pass and resolves attributes once per distinct winning cluster after
-    # the sweep — the resolved image must match the oracle exactly like the
-    # immediate epilogue does, on every traversal ordering.
+@pytest.mark.parametrize("defer", [True, "gid", "lag"])
+def test_deferred_epilogue_matches_brute(trav, defer, monkeypatch):
+    # EPILOGUE_DEFER records per hit pass only (truncated t, winning cluster
+    # id) in "dots"/True mode, or (exact t/u/v, global winning triangle id)
+    # in "gid" mode, and resolves attributes once per distinct winning
+    # cluster after the sweep — the resolved hits must match the oracle
+    # exactly like the immediate epilogue does.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, "EPILOGUE_DEFER", True)
+    monkeypatch.setattr(pt, "EPILOGUE_DEFER", defer)
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav=trav)
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
@@ -388,12 +394,14 @@ def test_deferred_epilogue_matches_brute(trav, monkeypatch):
                            ">30 min on CPU; EPILOGUE_DEFER ships OFF "
                            "(measured 13% TPU loss) so this guard is "
                            "opt-in: UNITY_TPU_SLOW_TESTS=1")
-def test_deferred_epilogue_multi_page(monkeypatch):
-    # Deferred resolution re-derives the winner from a GLOBAL cluster id:
-    # the multi-page block-offset arithmetic (epluck/chan at c*24 / c*72
-    # rows) must land on the same cluster the sweep recorded.
+@pytest.mark.parametrize("defer", [True, "gid", "lag"])
+def test_deferred_epilogue_multi_page(defer, monkeypatch):
+    # Deferred resolution re-derives the winner from a GLOBAL cluster id
+    # (or global triangle id in "gid" mode): the multi-page block-offset
+    # arithmetic (epluck/chan at c*24 / c*72 rows) must land on the same
+    # cluster the sweep recorded.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, "EPILOGUE_DEFER", True)
+    monkeypatch.setattr(pt, "EPILOGUE_DEFER", defer)
     b = SceneBuilder()
     v, f, n = P.icosphere(3)
     rng = np.random.default_rng(1)

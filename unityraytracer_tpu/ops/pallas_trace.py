@@ -162,6 +162,7 @@ REGATE = False
 SROWS = 48
 ROW_T, ROW_CNT, ROW_ADM = 0, 1, 2           # best-t, debug counters
 ROW_WC = 3                                  # winner cluster id (-1 = none)
+ROW_U, ROW_V, ROW_GID = 4, 5, 6             # "gid" defer: winner u/v/tri-id
 ROW_N, ROW_ALB, ROW_SPC, ROW_EMI, ROW_SMO = 8, 16, 24, 32, 40
 
 # Diagnostic: when True, each ray records its winning cluster id in
@@ -170,18 +171,53 @@ ROW_N, ROW_ALB, ROW_SPC, ROW_EMI, ROW_SMO = 8, 16, 24, 32, 40
 # step-level batched attribute resolver would pay off).
 TRACK_WINNERS = False
 
-# Deferred winner-attribute epilogue (fused geometry modes only): hit passes
-# record just the lane-truncated winner t + winning cluster id (two masked
-# row writes); after the page sweep a short while_loop re-runs the fused
-# dots and the full epilogue ONCE per distinct winning cluster per tile.
+# Deferred winner-attribute epilogue (fused geometry modes only):
+#   "dots" (or True) — hit passes record just the lane-truncated winner t +
+#       winning cluster id (two masked row writes); after the page sweep a
+#       short while_loop RE-RUNS the fused dots and the full epilogue ONCE
+#       per distinct winning cluster per tile. Measured a LOSS at TILE=128
+#       (238.5 vs 210.7 ms): the resolver's serial scalar->dynamic-slice->
+#       MXU chain cost more than the per-pass epilogues it removed.
+#   "gid"  — hit passes keep the cheap winner reduces (exact t/u/v — the
+#       no_chan bisect measured those ~free) and store the winner's GLOBAL
+#       triangle id (cluster*KSIZE + lane + 1) in ROW_GID; the resolver
+#       rebuilds the one-hot pick straight from the id's lane bits, so it
+#       runs ONLY the attribute matmul + blend + channel writes per
+#       distinct winning cluster — no geometric dot re-run. Bit-identical
+#       channels to the per-pass epilogue (same pick one-hot, same blend).
+#       MEASURED a loss (209.8 vs 201.5 control; batched GID_BATCH dot
+#       208.7): the post-sweep resolver's serial scalar-extract sweeps
+#       cost the same ~650-cycle pipeline drain per step as the per-pass
+#       dots they replace.
+#   "lag"  — hit passes record like "gid" (exact t/u/v reduces in-pass;
+#       winner LANE+1 in ROW_GID), and the pending pass's attribute dot is
+#       issued at the TOP of the NEXT admitted pass, back-to-back with its
+#       geometric dots: each hit pass pays ONE VPU->MXU->VPU round trip
+#       instead of two. The pending cluster id rides the visitation
+#       while_loop carries as a scalar; one drain resolves the final
+#       pending pass after the sweep. MEASURED EXACTLY NEUTRAL (202.45 vs
+#       202.46 ms control): MXU-issue adjacency is NOT the per-pass cost —
+#       together with the chan-size/precision invariance this localizes
+#       the ~650 cycles to the PICK operand (the only operand that never
+#       varied) and/or the dot's dependency position in the chain.
 # TRACK_WINNERS measured ~40% of hit passes as transient winners and ~2-4
 # distinct winning clusters per tile vs ~17 hit passes — deferral trades
-# ~17 attribute matmul + reduce + 5-block-write epilogues for ~3, at the
-# cost of one extra fused dot per distinct winner.
+# ~17 attribute matmul + 5-block-write epilogues for ~3.
 EPILOGUE_DEFER = False
 # Debug aid: run the deferred sweep but skip the resolver (t stays
 # lane-truncated, attributes stale) — bisects defer bugs to sweep/resolve.
 DEFER_RESOLVE = True
+# Distinct winning clusters resolved per "gid" resolver iteration (ONE
+# concatenated attribute dot covers the whole batch — the per-issue
+# VPU->MXU->VPU stall amortizes over the batch).
+GID_BATCH = 4
+# Second-level epilogue gate (immediate epilogue only): a hit pass whose
+# triangles beat no ray's current best writes nothing — pl.when(any(closer))
+# skips its whole attribute epilogue (the ~650-cycle VPU->MXU->VPU round
+# trip). Exact: every epilogue write is already masked by `closer`.
+# MEASURED a small loss (206.7 vs 202.5 control): the extra scalar reduce
+# + branch drain costs more than the skipped transient-free epilogues.
+CLOSER_GATE = False
 
 
 def _col(row):
@@ -332,6 +368,24 @@ def _for_set_bits(word, fn):
         return jnp.bitwise_xor(w, low)
 
     jax.lax.while_loop(cond, body, word)
+
+
+def _for_set_bits_carry(word, fn, init):
+    """``_for_set_bits`` with a loop-carried value: ``fn(bit_index, carry)
+    -> carry`` (used by the lagged epilogue to thread the pending cluster
+    id through the visitation). Returns the final carry."""
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, p = c
+        low = jnp.bitwise_and(w, jnp.int32(0) - w)
+        dc = jnp.round(jnp.log2(jnp.abs(
+            low.astype(jnp.float32)))).astype(jnp.int32)
+        p2 = fn(dc, p)
+        return jnp.bitwise_xor(w, low), p2
+
+    return jax.lax.while_loop(cond, body, (word, init))[1]
 
 
 # In-kernel coherence-sort key scheme (see _ray_bin_ids):
@@ -665,8 +719,16 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     trav = trav or TRAV_MODE
     chan_mode = chan_mode or CHAN_MODE
     page_axes = PAGE_AXES if page_axes is None else page_axes
-    defer = (EPILOGUE_DEFER and not EPILOGUE_LITE
-             and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
+    defer = EPILOGUE_DEFER
+    if EPILOGUE_LITE or geom not in ("mxu_f6", "mxu_f3", "mxu_pf3"):
+        defer = False
+    if defer is True:
+        defer = "dots"
+    assert defer in (False, "dots", "gid", "lag"), defer
+    if defer == "lag" and (trav != "bitmask" or REGATE):
+        # The pending-pass carry is only threaded through the bitmask
+        # visitation loops (and a re-gate pl.when cannot return a carry).
+        defer = False
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -877,6 +939,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             e_max = jnp.maximum(jnp.maximum(e01, e12), e20)
             ok = (front & (e_max <= 0.0)
                   & (t_num < 0.0) & (t_num > best_t() * t_den))
+            any_ok = jnp.any(ok)
 
             def _gate(pred):
                 # "nogates" perf probe: run the epilogue unconditionally
@@ -887,7 +950,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     return lambda fn: fn()
                 return pl.when(pred)
 
-            @_gate(jnp.any(ok))
+            @_gate(any_ok)
             def _():
                 t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
                 t_bits = jax.lax.bitcast_convert_type(
@@ -906,14 +969,42 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     S[0:1, ls] = jnp.where(closer, t_win, S[0:1, ls])
                     return
 
+                if defer in ("gid", "lag"):
+                    # "gid"/"lag" defer: keep the winner reduces — exact
+                    # t/u/v, measured ~free by the no_chan bisect — and
+                    # store the winner's id (global triangle id for "gid",
+                    # whose resolver runs post-sweep; lane+1 for "lag",
+                    # whose cluster id rides the visitation carry and is
+                    # resolved at the next admitted pass).
+                    pick = (key == win_key).astype(jnp.float32)
+                    ssum = e01 + e12 + e20
+                    inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum, 1.0)
+                    t_sel = jnp.sum(jnp.where(pick > 0, t, 0.0), axis=0,
+                                    keepdims=True)
+                    u_sel = jnp.sum(jnp.where(pick > 0, e20 * inv_s, 0.0),
+                                    axis=0, keepdims=True)
+                    v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0),
+                                    axis=0, keepdims=True)
+                    lane = jnp.bitwise_and(win_key, LANE_MASK)
+                    if defer == "lag":
+                        gid = (1 + lane).astype(jnp.float32)
+                    else:
+                        gid = (c * KSIZE + 1 + lane).astype(jnp.float32)
+                    S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+                    S[ROW_U:ROW_U + 1, ls] = jnp.where(
+                        closer, u_sel, S[ROW_U:ROW_U + 1, ls])
+                    S[ROW_V:ROW_V + 1, ls] = jnp.where(
+                        closer, v_sel, S[ROW_V:ROW_V + 1, ls])
+                    S[ROW_GID:ROW_GID + 1, ls] = jnp.where(
+                        closer, gid, S[ROW_GID:ROW_GID + 1, ls])
+                    return
+
                 if defer:
-                    # Deferred epilogue: record only the lane-truncated
-                    # winner t and the winning cluster id (two masked row
-                    # writes); the attribute matmul + exact t/u/v reduces run
-                    # ONCE per distinct winning cluster per tile in
-                    # _resolve_deferred after the page sweep. Measured ~40%
-                    # of hit passes are transient winners later beaten — with
-                    # deferral their full epilogues are never computed.
+                    # "dots" defer: record only the lane-truncated winner t
+                    # and the winning cluster id (two masked row writes); the
+                    # attribute matmul + exact t/u/v reduces run ONCE per
+                    # distinct winning cluster per tile in _resolve_deferred
+                    # after the page sweep (which RE-RUNS the fused dots).
                     S[0:1, ls] = jnp.where(closer, t_win, S[0:1, ls])
                     S[ROW_WC:ROW_WC + 1, ls] = jnp.where(
                         closer,
@@ -921,7 +1012,17 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         S[ROW_WC:ROW_WC + 1, ls])
                     return
 
-                _attr_epilogue(c, e01, e12, e20, t, key, win_key, closer)
+                if CLOSER_GATE:
+                    # Second-level gate: a pass whose triangle hits beat no
+                    # ray's current best writes nothing — skipping its
+                    # whole attribute epilogue saves the ~650-cycle
+                    # VPU->MXU->VPU round trip per transient-free pass.
+                    @pl.when(jnp.any(closer))
+                    def _():
+                        _attr_epilogue(c, e01, e12, e20, t, key, win_key,
+                                       closer)
+                else:
+                    _attr_epilogue(c, e01, e12, e20, t, key, win_key, closer)
                 if TRACK_WINNERS:
                     # 1-based so the zero-initialized row means "no winner"
                     # (the emitted channel subtracts 1 back).
@@ -929,6 +1030,14 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         closer,
                         (c + 1).astype(jnp.float32) + jnp.zeros_like(t_win),
                         S[ROW_WC:ROW_WC + 1, ls])
+            if defer == "lag":
+                # The pending-cluster carry: this pass becomes pending iff
+                # it had any accepted hit (any_ok is the gate predicate, so
+                # it is available outside the gate for free). A hit pass
+                # whose winners beat nobody leaves ROW_GID untouched (all
+                # zero after the previous resolve) — its resolve is a
+                # masked no-op.
+                return jnp.where(any_ok, c, jnp.int32(-1))
 
         def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
             """Attribute matmul + exact t/u/v reduces + channel writes for
@@ -939,44 +1048,6 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             # (NCHAN, tris) against pick (tris, rays) yields each
             # winner's attributes.
             pick = (key == win_key).astype(jnp.float32)    # (tris, rays)
-            if EPILOGUE_MODE in ("no_chan", "no_dot"):  # perf probe only
-                sel = jnp.zeros((NCHAN, TILE), jnp.float32)
-            elif EPILOGUE_MODE == "static_chan":        # perf probe only
-                sel3 = jax.lax.dot_general(
-                    chan_ref[0:3 * NCHAN, :], pick,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                       + sel3[2 * NCHAN:3 * NCHAN, :])
-            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
-                    and chan_mode != "split3":
-                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                      NCHAN), :]
-                sel = jnp.dot(chan, pick,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
-            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
-                # Attribute block stored as the three bf16 components
-                # [h; m; l] — an EXACT decomposition (24 mantissa bits =
-                # 3 x 8, and h+m, m+l, and the total are all exactly
-                # representable, so the f32 accumulation reconstructs the
-                # original attribute bit-for-bit). One default-precision
-                # dot (pick is exact 0/1), thirds summed.
-                cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
-                                      3 * NCHAN), :]
-                sel3 = jax.lax.dot_general(
-                    cblk, pick, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
-                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                       + sel3[2 * NCHAN:3 * NCHAN, :])
-            else:
-                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                      NCHAN), :]
-                # HIGHEST: default MXU precision would truncate the
-                # selected normals/materials to bf16.
-                sel = jnp.dot(chan, pick,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)
             # Exact t and barycentrics of the winner (removes the key
             # truncation): one masked reduce each. Barycentrics from the
             # edge values: u = e20/sum, v = e01/sum.
@@ -994,9 +1065,79 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                                 axis=0, keepdims=True)
                 v_sel = jnp.sum(jnp.where(pick > 0, e01 * inv_s, 0.0),
                                 axis=0, keepdims=True)
+            _attr_writeback(c, pick, t_sel, u_sel, v_sel, mask)
+
+        def _attr_writeback(c, pick, t_sel, u_sel, v_sel, mask,
+                            write_t=True):
+            """Attribute matmul + channel writes for the rays in ``mask``
+            (whose winner is in cluster c, one-hot over ``pick``)."""
+            _chan_writeback(_attr_select(c, pick), t_sel, u_sel, v_sel,
+                            mask, write_t)
+
+        def _attr_select(c, pick):
+            """Winner attribute matmul for cluster ``c``: one MXU dot of
+            the packed per-cluster attribute block against the one-hot
+            ``pick`` -> (NCHAN, rays)."""
+            if EPILOGUE_MODE == "const_pick":     # perf probe only
+                # Same dot shapes, but the pick operand depends only on the
+                # cluster id (not on this pass's fresh key/win_key values):
+                # bisects the per-pass attr-dot cost into "dependency chain
+                # on in-flight VPU data" vs "operand staging / issue".
+                pick = (sub_mat == jnp.bitwise_and(
+                    c, LANE_MASK)).astype(jnp.float32)
+            if EPILOGUE_MODE in ("no_chan", "no_dot"):  # perf probe only
+                sel = jnp.zeros((NCHAN, TILE), jnp.float32)
+            elif EPILOGUE_MODE == "static_chan":        # perf probe only
+                sel3 = jax.lax.dot_general(
+                    chan_ref[0:3 * NCHAN, :], pick,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
+                    and chan_mode not in ("split3", "bf16s3"):
+                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                      NCHAN), :]
+                sel = jnp.dot(chan, pick,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
+                # Attribute block stored as the three bf16 components
+                # [h; m; l] — an EXACT decomposition (24 mantissa bits =
+                # 3 x 8, and h+m, m+l, and the total are all exactly
+                # representable, so the f32 accumulation reconstructs the
+                # original attribute bit-for-bit). One default-precision
+                # dot (pick is exact 0/1), thirds summed. "bf16s3" stores
+                # the components as NATIVE bf16 (the MXU's operand format)
+                # and feeds a bf16 pick: half the operand staging bytes,
+                # still bit-exact (one-hot {0,1} is exact in bf16; the
+                # products ARE the stored components; accumulate in f32).
+                cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
+                                      3 * NCHAN), :]
+                p_op = (pick.astype(jnp.bfloat16)
+                        if cblk.dtype == jnp.bfloat16 else pick)
+                sel3 = jax.lax.dot_general(
+                    cblk, p_op, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+            else:
+                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
+                                      NCHAN), :]
+                # HIGHEST: default MXU precision would truncate the
+                # selected normals/materials to bf16.
+                sel = jnp.dot(chan, pick,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            return sel
+
+        def _chan_writeback(sel, t_sel, u_sel, v_sel, mask, write_t=True):
+            """Normal blend + channel writes of selected attributes ``sel``
+            for the rays in ``mask``."""
             w_sel = 1.0 - u_sel - v_sel
             if EPILOGUE_MODE == "no_chan":        # perf probe only
-                S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
+                if write_t:
+                    S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
                 return
             # Smooth normal: barycentric blend of the winner's vertex
             # normals (channels 0-8 are n0/n1/n2 xyz), normalized, then
@@ -1018,7 +1159,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 mask, sel[15:18, :], S[ROW_EMI:ROW_EMI + 3, ls])
             S[ROW_SMO:ROW_SMO + 1, ls] = jnp.where(
                 mask, sel[18:19, :], S[ROW_SMO:ROW_SMO + 1, ls])
-            S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
+            if write_t:
+                S[0:1, ls] = jnp.where(mask, t_sel, S[0:1, ls])
 
         def _resolve_deferred():
             """Run the full attribute epilogue once per DISTINCT winning
@@ -1076,6 +1218,147 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             jax.lax.while_loop(cond, body,
                                (jnp.int32(0),
                                 jnp.max(S[ROW_WC:ROW_WC + 1, ls])))
+
+        def _resolve_gid():
+            """Attribute write-back once per DISTINCT winning cluster
+            ("gid" deferred-epilogue mode).
+
+            After the sweep, S[ROW_GID] holds each ray's winning global
+            triangle id + 1 (0 = ground/sphere/miss — their channels were
+            seeded by _ground_sphere_init and must not be touched), and
+            S[0]/ROW_U/ROW_V the winner's exact t/u/v. The per-pass attr
+            dot costs ~650 cycles of VPU->MXU->VPU serialization per
+            ISSUE regardless of size (measured: no_dot 123 vs full 201.5
+            ms, gid-per-cluster resolver 210, chan block size irrelevant)
+            — so each iteration extracts up to GID_BATCH distinct winning
+            clusters (serial max/clear sweeps, VPU-only), concatenates
+            their attribute blocks along lanes, and issues ONE wide dot:
+            the serialization stall amortizes over every distinct winner
+            in the tile. pick is rebuilt from the stored ids' lane
+            offsets — no geometric dot re-run; channels are bit-identical
+            to the per-pass epilogue (same one-hot, same blend). The next
+            remaining id is carried out (a Pallas while_loop cond must be
+            pure on the carry — see _resolve_deferred); ROW_GID ends
+            all-zero, re-armed for the next grid step."""
+            split = (chan_mode in ("split3", "bf16s3")
+                     and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
+            RPC = (3 * NCHAN) if split else NCHAN   # chan rows per cluster
+
+            def cond(carry):
+                i, gf = carry
+                return (i < 32) & (gf > 0.5)
+
+            def body(carry):
+                i, gf = carry
+                g_row = S[ROW_GID:ROW_GID + 1, ls]
+                gm1 = g_row - 1.0                    # global tri id, -1=none
+                rem = g_row
+                cur = gf
+                picks, blks = [], []
+                for _ in range(GID_BATCH):
+                    c_j = (cur.astype(jnp.int32) - 1) // KSIZE  # -1 = empty
+                    lo = (c_j * KSIZE + 1).astype(jnp.float32)
+                    in_j = (rem >= lo) & (rem < lo + KSIZE) & (c_j >= 0)
+                    rem = jnp.where(in_j, 0.0, rem)
+                    cur = jnp.max(rem)
+                    lane = gm1 - (lo - 1.0)
+                    picks.append((sub_mat == lane.astype(jnp.int32))
+                                 & (lane >= 0.0) & (lane < float(KSIZE))
+                                 & (c_j >= 0))
+                    c_safe = jnp.maximum(c_j, 0)
+                    blks.append(chan_ref[
+                        pl.ds(pl.multiple_of(c_safe * RPC, 8), RPC), :])
+                blk = jnp.concatenate(blks, axis=1)  # (RPC, GID_BATCH*K)
+                pick = jnp.concatenate(picks, axis=0).astype(
+                    jnp.bfloat16 if blk.dtype == jnp.bfloat16
+                    else jnp.float32)
+                if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan"):
+                    sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # probes
+                elif split:
+                    sel3 = jax.lax.dot_general(
+                        blk, pick, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                else:
+                    sel = jnp.dot(blk, pick,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+                matched = (g_row > 0.5) & (rem == 0.0)
+                _chan_writeback(sel, S[0:1, ls], S[ROW_U:ROW_U + 1, ls],
+                                S[ROW_V:ROW_V + 1, ls], matched,
+                                write_t=False)
+                S[ROW_GID:ROW_GID + 1, ls] = rem
+                return i + 1, cur
+
+            jax.lax.while_loop(cond, body,
+                               (jnp.int32(0),
+                                jnp.max(S[ROW_GID:ROW_GID + 1, ls])))
+
+        def _lag_select(c_p):
+            """Pending-pass attribute dot ("lag" deferred-epilogue mode).
+
+            c_p: the pending pass's cluster id (int32 scalar carried through
+            the visitation loops; -1 = nothing pending). ROW_GID holds each
+            ray's pending winner lane+1 (0 = not won by the pending pass).
+            Rebuilds the one-hot pick from the lane bits and issues the
+            attribute matmul — the caller places this back-to-back with the
+            NEXT pass's geometric dots so both share one MXU issue island.
+            Returns (sel, valid): selected channels and the write mask.
+            """
+            split = (chan_mode in ("split3", "bf16s3")
+                     and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
+            RPC = (3 * NCHAN) if split else NCHAN
+            g_row = S[ROW_GID:ROW_GID + 1, ls]          # lane+1, 0 = none
+            valid = (g_row > 0.5) & (c_p >= 0)
+            lane = g_row.astype(jnp.int32) - 1
+            pick = ((sub_mat == lane) & valid).astype(jnp.float32)
+            c_safe = jnp.maximum(c_p, 0)
+            blk = chan_ref[pl.ds(pl.multiple_of(c_safe * RPC, 8), RPC), :]
+            if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan"):
+                sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # perf probes
+            elif split:
+                p_op = (pick.astype(jnp.bfloat16)
+                        if blk.dtype == jnp.bfloat16 else pick)
+                sel3 = jax.lax.dot_general(
+                    blk, p_op, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+            else:
+                sel = jnp.dot(blk, pick,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+            return sel, valid
+
+        def _lag_resolve(sel, valid):
+            """Channel write-back of a pending pass (t/u/v already exact in
+            their rows from the in-pass reduces) + re-arm ROW_GID."""
+            _chan_writeback(sel, S[0:1, ls], S[ROW_U:ROW_U + 1, ls],
+                            S[ROW_V:ROW_V + 1, ls], valid, write_t=False)
+            S[ROW_GID:ROW_GID + 1, ls] = jnp.zeros((1, TILE), jnp.float32)
+
+        def cluster_pass_lag(c, c_p):
+            """Cluster pass with the LAGGED attribute epilogue: the pending
+            pass's attribute dot issues adjacent to THIS pass's geometric
+            dots (one VPU->MXU->VPU round trip per hit pass instead of
+            two), then its channel writes land before this pass's winner
+            reduces update the t/u/v/lane rows. Returns the new pending
+            cluster id."""
+            if COUNT_PASSES:
+                S[ROW_ADM:ROW_ADM + 1, ls] = \
+                    S[ROW_ADM:ROW_ADM + 1, ls] + 1.0
+                S[ROW_CNT:ROW_CNT + 1, ls] = \
+                    S[ROW_CNT:ROW_CNT + 1, ls] + 1.0
+            sel, valid = _lag_select(c_p)       # VPU pick + MXU attr dot
+            e_all, tnd = fused_dots(c)          # MXU, back-to-back
+            _lag_resolve(sel, valid)            # VPU channel writes
+            return fused_epilogue(c, e_all, tnd)
+
+        def _lag_drain(c_p):
+            """Resolve the final pending pass after the sweep."""
+            sel, valid = _lag_select(c_p)
+            _lag_resolve(sel, valid)
 
         def page_cols(g):
             bmin = tuple(_col(cref[g, :].reshape(1, PAGE))
@@ -1155,7 +1438,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             pcol = jnp.min(pg_entry, axis=1, keepdims=True)     # (PW, 1)
             _visit_by_distance(pcol, best_t, page_pass)
             if defer and DEFER_RESOLVE:
-                _resolve_deferred()
+                (_resolve_gid if defer == "gid" else _resolve_deferred)()
             return
 
         # "bitmask" ordering family: ascending cluster index sweeps the
@@ -1210,8 +1493,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 jax.lax.while_loop(cond, body, (word, c0, e0, t0))
 
-        def page_pass(g):
-            """Cluster-level culling for page g, then triangle passes."""
+        def page_pass(g, pend=None):
+            """Cluster-level culling for page g, then triangle passes.
+            ``pend`` (lag mode): pending-cluster carry, threaded and
+            returned."""
             bmin, bmax = page_cols(g)
             cl_hit = _outer_aabb(ro, inv, bmin, bmax, best_t())  # (128, TILE)
             flags = jnp.any(cl_hit, axis=1, keepdims=True)        # (128, 1)
@@ -1234,9 +1519,15 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 if pipe:
                     _pipe_word(word, idx_of)
+                elif defer == "lag":
+                    pend = _for_set_bits_carry(
+                        word,
+                        lambda dc, p, f=idx_of: cluster_pass_lag(f(dc), p),
+                        pend)
                 else:
                     _for_set_bits(word,
                                   lambda dc, f=idx_of: cluster_pass(f(dc)))
+            return pend
 
         # Page-level culling: one (pages, rays) block over the page AABBs —
         # stored as narrow (PW, 1) columns with PW = pages rounded up to the
@@ -1250,6 +1541,19 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         sub_pg = jax.lax.broadcasted_iota(jnp.int32, (PW, 1), 0)
         pgw_a = _pack_flags_col(pg_flags, sub_pg)
         pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
+        if defer == "lag":
+            pend = jnp.int32(-1)
+            for w in range(len(pgw_a)):
+                word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
+                pend = _for_set_bits_carry(
+                    word,
+                    lambda dg, p, w=w: page_pass(
+                        jnp.where(desc_global, PW - 1 - (w * 32 + dg),
+                                  w * 32 + dg), p),
+                    pend)
+            if DEFER_RESOLVE:
+                _lag_drain(pend)
+            return
         for w in range(len(pgw_a)):
             word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
             _for_set_bits(
@@ -1258,7 +1562,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     jnp.where(desc_global, PW - 1 - (w * 32 + dg),
                               w * 32 + dg)))
         if defer and DEFER_RESOLVE:
-            _resolve_deferred()
+            (_resolve_gid if defer == "gid" else _resolve_deferred)()
 
     for r in range(A.shape[1] // TILE):
         row_body(r)
@@ -1338,7 +1642,9 @@ def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
     S[ROW_EMI:ROW_EMI + 3, :] = pick3(sel[6:9, :], gmisc[7:10, :])
     S[ROW_SMO:ROW_SMO + 1, :] = pick3(sel[9:10, :], gmisc[10:11, :])
     S[0:1, :] = jnp.where(alive_row > 0, jnp.minimum(t_ns, _F32_MAX), 0.0)
-    S[ROW_CNT:ROW_CNT + 3, :] = jnp.zeros((3, B), jnp.float32)  # + ROW_WC
+    # Zero the counter/deferral rows (CNT, ADM, WC, U, V, GID): the resolve
+    # loops and the megakernel's bounce reuse both require them re-armed.
+    S[ROW_CNT:ROW_CNT + 6, :] = jnp.zeros((6, B), jnp.float32)
 
 
 @struct.dataclass
@@ -1699,8 +2005,13 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
         geo_pat = "hhm" if geom == "mxu_pf3" else "hml"
         epluck = _split_rows(epluck.reshape(Cp, 8, 3 * KSIZE), 3, geo_pat)
         eplane = _split_rows(eplane.reshape(Cp, 8, KSIZE), 3, geo_pat)
-        if chan_mode == "split3":
+        if chan_mode in ("split3", "bf16s3"):
             chan = _split_rows(chan.reshape(Cp, NCHAN, KSIZE), 3)
+            if chan_mode == "bf16s3":
+                # The [h; m; l] components are bf16-representable f32 by
+                # construction — storing them AS bf16 is lossless and halves
+                # both the VMEM block and the MXU operand staging.
+                chan = chan.astype(jnp.bfloat16)  # ml_dtypes-backed, lossless
 
     # Per-page dominant axis codes sign*(axis+1): within each page, which
     # spatial direction does ascending cluster index sweep? (The kd
