@@ -286,6 +286,10 @@ def test_probe_and_mode_flags_ship_safe():
     # MXU adjacency or epilogue count — keep both off.
     assert pt.CLOSER_GATE is False
     assert pt.REGATE is False
+    # PASS_PAIR ships per its measured TPU verdict (see the flag docstring);
+    # whatever that verdict is, the shipped value must match this pin so a
+    # stray experiment edit cannot ship silently.
+    assert pt.PASS_PAIR is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
     # split3 exact attributes, distance-ordered traversal, octant binning.
@@ -370,6 +374,20 @@ def test_traversal_modes_match_brute(trav, page_axes):
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, trav=trav,
                               page_axes=page_axes)
     assert pa.trav == trav and pa.page_axes == page_axes
+    ro, rd = _rays(2 * TILE + 37, seed=13)
+    _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+@pytest.mark.parametrize("chan_mode", ["split3", "bf16s3"])
+def test_pair_pass_matches_brute(chan_mode, monkeypatch):
+    # PASS_PAIR tests two admitted clusters per visitation iteration (one
+    # fused edge dot, one plane dot, one 256-wide attribute dot), with the
+    # unpaired leftover carried across words/pages and drained as a single
+    # pass. Winner select runs over 256 virtual lanes (8 lane key bits) —
+    # the resolved hits must match the oracle exactly like single passes.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, chan_mode=chan_mode)
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
 

@@ -218,6 +218,14 @@ GID_BATCH = 4
 # MEASURED a small loss (206.7 vs 202.5 control): the extra scalar reduce
 # + branch drain costs more than the skipped transient-free epilogues.
 CLOSER_GATE = False
+# Pair-pass traversal: each visitation loop iteration tests TWO admitted
+# clusters in one fused pass (one edge dot, one plane dot, one attribute
+# dot — each covering 256 triangles) instead of one. Fixed per-issue
+# overhead (~650 cyc/dot, size-invariant) halves per admitted cluster
+# while culling granularity stays at 128 triangles; leftovers carry
+# across words/pages and drain as a single pass. Fused geom + split3/
+# bf16s3 chan + bitmask trav only.
+PASS_PAIR = False
 
 
 def _col(row):
@@ -368,6 +376,58 @@ def _for_set_bits(word, fn):
         return jnp.bitwise_xor(w, low)
 
     jax.lax.while_loop(cond, body, word)
+
+
+def _for_set_bits_pair(word, idx_of, fire2, pend):
+    """Visit set bits in GREEDY PAIRS: each loop iteration fires
+    ``fire2(a, b)`` on two distinct admitted clusters — the carried
+    leftover ``pend`` (from a previous word/page) paired with this word's
+    first bit, or two bits of this word. A word whose last bit finds no
+    partner stashes it into the carry; the caller drains the final
+    leftover with a single-cluster pass.
+
+    Rationale (measured): the per-cluster-pass cost is dominated by FIXED
+    per-issue overhead (~650 cycles per in-loop dot, invariant to size /
+    precision / operand bytes / position / dependency — see the
+    EPILOGUE_DEFER notes). Pairing halves the number of issues per
+    admitted cluster while leaving the CULLING granularity at 128
+    triangles (static KSIZE=256 measured 12% slower because its coarser
+    AABBs admit more work; pairs are formed from already-admitted,
+    possibly distant clusters instead).
+
+    Returns the new leftover (int32 global cluster id, -1 = none).
+    """
+    def ctz(v):
+        return jnp.round(jnp.log2(jnp.abs(
+            v.astype(jnp.float32)))).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, p = c
+        low0 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        c0 = idx_of(ctz(low0))
+        w_a = jnp.bitwise_xor(w, low0)
+        have_p = p >= 0
+        low1 = jnp.bitwise_and(w_a, jnp.int32(0) - w_a)
+        has1 = w_a != 0
+        c1 = idx_of(ctz(jnp.where(has1, low1, jnp.int32(1))))
+        a = jnp.where(have_p, p, c0)
+        b = jnp.where(have_p, c0, c1)
+        fire = have_p | has1
+
+        @pl.when(fire)
+        def _():
+            fire2(a, b)
+
+        new_p = jnp.where(fire, jnp.int32(-1), c0)
+        new_w = jnp.where(have_p, w_a,
+                          jnp.bitwise_xor(
+                              w_a, jnp.where(has1, low1, jnp.int32(0))))
+        return new_w, new_p
+
+    return jax.lax.while_loop(cond, body, (word, pend))[1]
 
 
 def _for_set_bits_carry(word, fn, init):
@@ -729,6 +789,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         # The pending-pass carry is only threaded through the bitmask
         # visitation loops (and a re-gate pl.when cannot return a carry).
         defer = False
+    pair = (PASS_PAIR and trav == "bitmask" and not REGATE and not defer
+            and not TRACK_WINNERS and not EPILOGUE_LITE
+            and geom in ("mxu_f6", "mxu_f3", "mxu_pf3")
+            and chan_mode in ("split3", "bf16s3"))
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -817,6 +881,27 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 t_num = tnd[:, 0:TILE]
                 t_den = tnd[:, TILE:2 * TILE]
                 return _winner_update(c, e01, e12, e20, t_num, t_den)
+
+            def fused_dots2(c0, c1):
+                """BOTH clusters' MXU work in one edge + one plane dot:
+                the per-cluster operands concatenate along the OUTPUT
+                lane axis (the contraction stays the 24 fused component
+                rows), so two clusters cost the same two fixed ~650-cycle
+                issues one cluster does."""
+                e0 = epl_ref[pl.ds(pl.multiple_of(c0 * 24, 8), 24), :]
+                p0 = epn_ref[pl.ds(pl.multiple_of(c0 * 24, 8), 24), :]
+                e1 = epl_ref[pl.ds(pl.multiple_of(c1 * 24, 8), 24), :]
+                p1 = epn_ref[pl.ds(pl.multiple_of(c1 * 24, 8), 24), :]
+                dims = (((0,), (0,)), ((), ()))
+                eL = jnp.concatenate([fuse_tri(e0), fuse_tri(e1)], axis=1)
+                pL = jnp.concatenate([fuse_tri(p0), fuse_tri(p1)], axis=1)
+                e_all = jax.lax.dot_general(
+                    eL, B_e, dims,
+                    preferred_element_type=jnp.float32)   # (6K, rays)
+                tnd = jax.lax.dot_general(
+                    pL, B_od, dims,
+                    preferred_element_type=jnp.float32)   # (2K, 2*TILE)
+                return e_all, tnd
 
         def best_t():
             return S[0:1, ls]
@@ -1038,6 +1123,103 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 # zero after the previous resolve) — its resolve is a
                 # masked no-op.
                 return jnp.where(any_ok, c, jnp.int32(-1))
+
+        def cluster_pass2(c0, c1):
+            """One PAIR pass: both clusters' geometry in one fused dot
+            pair, one shared winner select, one attribute dot over the
+            concatenated 256-triangle block. c0 != c1 always (each cluster
+            is visited once; the greedy pairer never self-pairs)."""
+            if COUNT_PASSES:
+                S[ROW_ADM:ROW_ADM + 1, ls] = \
+                    S[ROW_ADM:ROW_ADM + 1, ls] + 2.0
+                S[ROW_CNT:ROW_CNT + 1, ls] = \
+                    S[ROW_CNT:ROW_CNT + 1, ls] + 2.0
+            e_all, tnd = fused_dots2(c0, c1)
+            K = KSIZE
+            bt = best_t()
+
+            def half(e_off, t_row0):
+                e01 = e_all[e_off:e_off + K, :]
+                e12 = e_all[e_off + K:e_off + 2 * K, :]
+                e20 = e_all[e_off + 2 * K:e_off + 3 * K, :]
+                t_num = tnd[t_row0:t_row0 + K, 0:TILE]
+                t_den = tnd[t_row0:t_row0 + K, TILE:2 * TILE]
+                front = t_den <= -1e-8
+                e_max = jnp.maximum(jnp.maximum(e01, e12), e20)
+                ok = (front & (e_max <= 0.0)
+                      & (t_num < 0.0) & (t_num > bt * t_den))
+                return e01, e12, e20, t_num, t_den, front, ok
+
+            ha = half(0, 0)
+            hb = half(3 * K, K)
+            any_ok = jnp.any(ha[6]) | jnp.any(hb[6])
+            gate = ((lambda fn: fn()) if EPILOGUE_MODE == "nogates"
+                    else pl.when(any_ok))
+
+            @gate
+            def _():
+                # 8 lane bits cover the 256 virtual lanes; the coarser key
+                # truncation only affects the conservative `closer` gate —
+                # the written t/u/v come from exact masked reduces.
+                LM2 = jnp.int32(2 * KSIZE - 1)
+
+                def keyed(h, lane_off):
+                    e01, e12, e20, t_num, t_den, front, ok = h
+                    t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
+                    t_bits = jax.lax.bitcast_convert_type(
+                        jnp.where(ok, t, _F32_MAX), jnp.int32)
+                    key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LM2),
+                                         sub_mat + lane_off)
+                    return t, key
+
+                ta, key_a = keyed(ha, 0)
+                tb, key_b = keyed(hb, KSIZE)
+                win_key = jnp.minimum(
+                    jnp.min(key_a, axis=0, keepdims=True),
+                    jnp.min(key_b, axis=0, keepdims=True))
+                t_win = jax.lax.bitcast_convert_type(
+                    jnp.bitwise_and(win_key, ~LM2), jnp.float32)
+                closer = (t_win < bt) & (t_win < _F32_MAX * 0.25)
+                pick_a = (key_a == win_key)
+                pick_b = (key_b == win_key)
+
+                def reduced(h, pick, t):
+                    e01, e12, e20 = h[0], h[1], h[2]
+                    ssum = e01 + e12 + e20
+                    inv_s = 1.0 / jnp.where(jnp.abs(ssum) > 1e-30, ssum,
+                                            1.0)
+                    rt = jnp.sum(jnp.where(pick, t, 0.0), axis=0,
+                                 keepdims=True)
+                    ru = jnp.sum(jnp.where(pick, e20 * inv_s, 0.0),
+                                 axis=0, keepdims=True)
+                    rv = jnp.sum(jnp.where(pick, e01 * inv_s, 0.0),
+                                 axis=0, keepdims=True)
+                    return rt, ru, rv
+
+                rta, rua, rva = reduced(ha, pick_a, ta)
+                rtb, rub, rvb = reduced(hb, pick_b, tb)
+                t_sel = rta + rtb
+                u_sel = rua + rub
+                v_sel = rva + rvb
+
+                RPC = 3 * NCHAN
+                blk = jnp.concatenate(
+                    [chan_ref[pl.ds(pl.multiple_of(c0 * RPC, 8), RPC), :],
+                     chan_ref[pl.ds(pl.multiple_of(c1 * RPC, 8), RPC), :]],
+                    axis=1)                              # (RPC, 2K)
+                pick = jnp.concatenate([pick_a, pick_b], axis=0).astype(
+                    jnp.bfloat16 if blk.dtype == jnp.bfloat16
+                    else jnp.float32)
+                if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan",
+                                     "const_pick"):
+                    sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # probes
+                else:
+                    sel3 = jax.lax.dot_general(
+                        blk, pick, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                _chan_writeback(sel, t_sel, u_sel, v_sel, closer)
 
         def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
             """Attribute matmul + exact t/u/v reduces + channel writes for
@@ -1519,6 +1701,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 if pipe:
                     _pipe_word(word, idx_of)
+                elif pair:
+                    pend = _for_set_bits_pair(word, idx_of, cluster_pass2,
+                                              pend)
                 elif defer == "lag":
                     pend = _for_set_bits_carry(
                         word,
@@ -1541,6 +1726,21 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         sub_pg = jax.lax.broadcasted_iota(jnp.int32, (PW, 1), 0)
         pgw_a = _pack_flags_col(pg_flags, sub_pg)
         pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
+        if pair:
+            pend = jnp.int32(-1)
+            for w in range(len(pgw_a)):
+                word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
+                pend = _for_set_bits_carry(
+                    word,
+                    lambda dg, p, w=w: page_pass(
+                        jnp.where(desc_global, PW - 1 - (w * 32 + dg),
+                                  w * 32 + dg), p),
+                    pend)
+
+            @pl.when(pend >= 0)
+            def _():
+                cluster_pass(pend)     # drain the unpaired leftover
+            return
         if defer == "lag":
             pend = jnp.int32(-1)
             for w in range(len(pgw_a)):

@@ -189,14 +189,17 @@ def parse_device_trace(logdir_or_file: str,
 
 def fetch_sync(tree) -> None:
     """Synchronize by VALUE FETCH (block_until_ready is a no-op through the
-    axon tunnel): pull the smallest array leaf to the host."""
+    axon tunnel): pull EVERY array leaf to the host. Fetching only the
+    smallest leaf is NOT a sync — a leaf like ``n_samples = n + 1`` does not
+    depend on the render kernels, so the tunnel materializes it while the
+    heavy computation is still in flight and a profiler trace stopped on it
+    misses the device work entirely."""
     import jax
 
     leaves = [l for l in jax.tree_util.tree_leaves(tree)
               if hasattr(l, "shape")]
-    if leaves:
-        smallest = min(leaves, key=lambda l: int(np.prod(l.shape) or 1))
-        np.asarray(jax.device_get(smallest))
+    for leaf in leaves:
+        np.asarray(jax.device_get(leaf))
 
 
 def profile_stages(run, logdir: Optional[str] = None,
