@@ -392,6 +392,62 @@ def test_pair_pass_matches_brute(chan_mode, monkeypatch):
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
+def test_pair_pass_cross_word_carry(monkeypatch):
+    # >32 admitted clusters per tile forces the unpaired leftover to cross
+    # 32-bit bitmask WORD boundaries (the pend carry in _for_set_bits_pair /
+    # page_pass): a cluster from word w pairs with one from word w+1. The
+    # tight ray bundle through the mesh stack admits many clusters at once.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    b = SceneBuilder()
+    v, f, n = P.icosphere(2)
+    for i in range(9):
+        b.add_mesh(v, f, transform=trs_matrix((0, 1, i * 1.5), (0, 17 * i, 0),
+                                              1.2),
+                   material=Material(albedo=(0.1 + 0.08 * i, 0.9 - 0.08 * i,
+                                             0.3)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32) * 0.5)
+    scene = b.build()
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    pa = prepare_pallas_accel(accel, scene.materials)
+    assert accel.num_clusters > 32  # clusters span >1 bitmask word
+    rng = np.random.default_rng(3)
+    ro = np.array([[0, 1, -4]], np.float32) + \
+        rng.uniform(-0.2, 0.2, (TILE, 3)).astype(np.float32)
+    rd = np.array([[0, 0, 1]], np.float32) + \
+        rng.normal(0, 0.08, (TILE, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
+
+
+@pytest.mark.skipif(not os.environ.get("UNITY_TPU_SLOW_TESTS"),
+                    reason="multi-page interpret compile takes >30 min on "
+                           "CPU; opt-in: UNITY_TPU_SLOW_TESTS=1")
+def test_pair_pass_multi_page(monkeypatch):
+    # Cross-PAGE leftover carry: a pending cluster from page g pairs with
+    # the first admitted cluster of page g+1, so fused_dots2's global
+    # epluck/chan row offsets must resolve across page boundaries.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    b = SceneBuilder()
+    v, f, n = P.icosphere(3)
+    rng = np.random.default_rng(1)
+    for i in range(16):
+        pos = rng.uniform(-6, 6, 3)
+        pos[1] = abs(pos[1]) + 0.5
+        b.add_mesh(v, f, transform=trs_matrix(tuple(pos), (0, 0, 0), 1.0),
+                   material=Material(albedo=(0.1 + 0.05 * i, 0.9 - 0.05 * i,
+                                             0.2 + 0.03 * i)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    scene = b.build()
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    ro, rd = _rays(512, seed=5, spread=7.0)
+    _assert_matches_brute(scene, prepare_pallas_accel(accel, scene.materials),
+                          ro, rd)
+
+
 @pytest.mark.parametrize("trav", ["bitmask"])
 @pytest.mark.parametrize("defer", [True, "gid", "lag"])
 def test_deferred_epilogue_matches_brute(trav, defer, monkeypatch):
