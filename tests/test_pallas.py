@@ -286,10 +286,11 @@ def test_probe_and_mode_flags_ship_safe():
     # MXU adjacency or epilogue count — keep both off.
     assert pt.CLOSER_GATE is False
     assert pt.REGATE is False
-    # PASS_PAIR ships per its measured TPU verdict (see the flag docstring);
-    # whatever that verdict is, the shipped value must match this pin so a
-    # stray experiment edit cannot ship silently.
+    # PASS_PAIR/PASS_QUAD ship per their measured TPU verdict (see the flag
+    # docstrings); whatever that verdict is, the shipped value must match
+    # this pin so a stray experiment edit cannot ship silently.
     assert pt.PASS_PAIR is False
+    assert pt.PASS_QUAD is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
     # split3 exact attributes, distance-ordered traversal, octant binning.
@@ -378,27 +379,32 @@ def test_traversal_modes_match_brute(trav, page_axes):
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
-@pytest.mark.parametrize("chan_mode", ["split3", "bf16s3"])
-def test_pair_pass_matches_brute(chan_mode, monkeypatch):
-    # PASS_PAIR tests two admitted clusters per visitation iteration (one
-    # fused edge dot, one plane dot, one 256-wide attribute dot), with the
-    # unpaired leftover carried across words/pages and drained as a single
-    # pass. Winner select runs over 256 virtual lanes (8 lane key bits) —
-    # the resolved hits must match the oracle exactly like single passes.
+@pytest.mark.parametrize("flag,chan_mode", [
+    ("PASS_PAIR", "split3"), ("PASS_PAIR", "bf16s3"),
+    ("PASS_QUAD", "split3"), ("PASS_QUAD", "bf16s3"),
+])
+def test_group_pass_matches_brute(flag, chan_mode, monkeypatch):
+    # PASS_PAIR/PASS_QUAD test 2/4 admitted clusters per visitation
+    # iteration (one fused edge dot, one plane dot, one 256/512-wide
+    # attribute dot), with unpaired leftovers carried across words/pages
+    # and drained as pair+single passes. Winner select runs over N*128
+    # virtual lanes (8/9 lane key bits) — the resolved hits must match the
+    # oracle exactly like single passes.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, flag, True)
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, chan_mode=chan_mode)
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
-def test_pair_pass_cross_word_carry(monkeypatch):
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD"])
+def test_group_pass_cross_word_carry(flag, monkeypatch):
     # >32 admitted clusters per tile forces the unpaired leftover to cross
     # 32-bit bitmask WORD boundaries (the pend carry in _for_set_bits_pair /
     # page_pass): a cluster from word w pairs with one from word w+1. The
     # tight ray bundle through the mesh stack admits many clusters at once.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, flag, True)
     b = SceneBuilder()
     v, f, n = P.icosphere(2)
     for i in range(9):
@@ -424,12 +430,13 @@ def test_pair_pass_cross_word_carry(monkeypatch):
 @pytest.mark.skipif(not os.environ.get("UNITY_TPU_SLOW_TESTS"),
                     reason="multi-page interpret compile takes >30 min on "
                            "CPU; opt-in: UNITY_TPU_SLOW_TESTS=1")
-def test_pair_pass_multi_page(monkeypatch):
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD"])
+def test_group_pass_multi_page(flag, monkeypatch):
     # Cross-PAGE leftover carry: a pending cluster from page g pairs with
-    # the first admitted cluster of page g+1, so fused_dots2's global
+    # the first admitted cluster of page g+1, so fused_dotsN's global
     # epluck/chan row offsets must resolve across page boundaries.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, flag, True)
     b = SceneBuilder()
     v, f, n = P.icosphere(3)
     rng = np.random.default_rng(1)

@@ -226,6 +226,12 @@ CLOSER_GATE = False
 # across words/pages and drain as a single pass. Fused geom + split3/
 # bf16s3 chan + bitmask trav only.
 PASS_PAIR = False
+# Quad-pass traversal: same idea at GROUP=4 — each fire tests FOUR admitted
+# clusters in one fused pass (one 12K-row edge dot, one 4K-row plane dot,
+# one 512-wide attribute dot), quartering the fixed per-issue overhead per
+# admitted cluster. Up to three leftovers carry across words/pages and
+# drain as one pair + one single pass. Takes precedence over PASS_PAIR.
+PASS_QUAD = False
 
 
 def _col(row):
@@ -426,6 +432,42 @@ def _for_set_bits_pair(word, idx_of, fire2, pend):
                           jnp.bitwise_xor(
                               w_a, jnp.where(has1, low1, jnp.int32(0))))
         return new_w, new_p
+
+    return jax.lax.while_loop(cond, body, (word, pend))[1]
+
+
+def _for_set_bits_quad(word, idx_of, fire4, pend):
+    """Visit set bits in GREEDY QUADS: clusters accumulate into three
+    pending slots; the fourth found fires ``fire4(p0, p1, p2, c)`` and
+    empties the slots. ``pend`` is ``(p0, p1, p2, n)`` with ``n`` the live
+    slot count (0-3); it carries across words/pages, and the caller drains
+    the final 1-3 leftovers with a pair + single pass. Each loop iteration
+    costs one scalar ctz chain; the heavy fused pass runs under a
+    ``pl.when`` every fourth admitted cluster."""
+    def ctz(v):
+        return jnp.round(jnp.log2(jnp.abs(
+            v.astype(jnp.float32)))).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, (p0, p1, p2, n) = c
+        low = jnp.bitwise_and(w, jnp.int32(0) - w)
+        cid = idx_of(ctz(low))
+        full = n == 3
+
+        @pl.when(full)
+        def _():
+            fire4(p0, p1, p2, cid)
+
+        # Slot writes are no-ops when full (n matches no slot index), so
+        # the reset below leaves stale ids behind n=0 — never re-read.
+        p0n = jnp.where(n == 0, cid, p0)
+        p1n = jnp.where(n == 1, cid, p1)
+        p2n = jnp.where(n == 2, cid, p2)
+        nn = jnp.where(full, jnp.int32(0), n + 1)
+        return jnp.bitwise_xor(w, low), (p0n, p1n, p2n, nn)
 
     return jax.lax.while_loop(cond, body, (word, pend))[1]
 
@@ -789,10 +831,12 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         # The pending-pass carry is only threaded through the bitmask
         # visitation loops (and a re-gate pl.when cannot return a carry).
         defer = False
-    pair = (PASS_PAIR and trav == "bitmask" and not REGATE and not defer
-            and not TRACK_WINNERS and not EPILOGUE_LITE
-            and geom in ("mxu_f6", "mxu_f3", "mxu_pf3")
-            and chan_mode in ("split3", "bf16s3"))
+    _groupable = (trav == "bitmask" and not REGATE and not defer
+                  and not TRACK_WINNERS and not EPILOGUE_LITE
+                  and geom in ("mxu_f6", "mxu_f3", "mxu_pf3")
+                  and chan_mode in ("split3", "bf16s3"))
+    quad = PASS_QUAD and _groupable
+    pair = PASS_PAIR and _groupable and not quad
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -882,25 +926,25 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 t_den = tnd[:, TILE:2 * TILE]
                 return _winner_update(c, e01, e12, e20, t_num, t_den)
 
-            def fused_dots2(c0, c1):
-                """BOTH clusters' MXU work in one edge + one plane dot:
+            def fused_dotsN(cs):
+                """ALL N clusters' MXU work in one edge + one plane dot:
                 the per-cluster operands concatenate along the OUTPUT
                 lane axis (the contraction stays the 24 fused component
-                rows), so two clusters cost the same two fixed ~650-cycle
+                rows), so N clusters cost the same two fixed ~650-cycle
                 issues one cluster does."""
-                e0 = epl_ref[pl.ds(pl.multiple_of(c0 * 24, 8), 24), :]
-                p0 = epn_ref[pl.ds(pl.multiple_of(c0 * 24, 8), 24), :]
-                e1 = epl_ref[pl.ds(pl.multiple_of(c1 * 24, 8), 24), :]
-                p1 = epn_ref[pl.ds(pl.multiple_of(c1 * 24, 8), 24), :]
+                eLs, pLs = [], []
+                for c in cs:
+                    eb = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                    pb = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                    eLs.append(fuse_tri(eb))
+                    pLs.append(fuse_tri(pb))
                 dims = (((0,), (0,)), ((), ()))
-                eL = jnp.concatenate([fuse_tri(e0), fuse_tri(e1)], axis=1)
-                pL = jnp.concatenate([fuse_tri(p0), fuse_tri(p1)], axis=1)
                 e_all = jax.lax.dot_general(
-                    eL, B_e, dims,
-                    preferred_element_type=jnp.float32)   # (6K, rays)
+                    jnp.concatenate(eLs, axis=1), B_e, dims,
+                    preferred_element_type=jnp.float32)   # (3NK, rays)
                 tnd = jax.lax.dot_general(
-                    pL, B_od, dims,
-                    preferred_element_type=jnp.float32)   # (2K, 2*TILE)
+                    jnp.concatenate(pLs, axis=1), B_od, dims,
+                    preferred_element_type=jnp.float32)   # (NK, 2*TILE)
                 return e_all, tnd
 
         def best_t():
@@ -1124,21 +1168,24 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 # masked no-op.
                 return jnp.where(any_ok, c, jnp.int32(-1))
 
-        def cluster_pass2(c0, c1):
-            """One PAIR pass: both clusters' geometry in one fused dot
-            pair, one shared winner select, one attribute dot over the
-            concatenated 256-triangle block. c0 != c1 always (each cluster
-            is visited once; the greedy pairer never self-pairs)."""
+        def cluster_passN(cs):
+            """One GROUP pass: N clusters' geometry in one fused dot pair,
+            one shared winner select, one attribute dot over the
+            concatenated N*K-triangle block. All ids in ``cs`` are distinct
+            (each cluster is visited once; the greedy grouper never
+            self-pairs)."""
+            N = len(cs)
             if COUNT_PASSES:
                 S[ROW_ADM:ROW_ADM + 1, ls] = \
-                    S[ROW_ADM:ROW_ADM + 1, ls] + 2.0
+                    S[ROW_ADM:ROW_ADM + 1, ls] + float(N)
                 S[ROW_CNT:ROW_CNT + 1, ls] = \
-                    S[ROW_CNT:ROW_CNT + 1, ls] + 2.0
-            e_all, tnd = fused_dots2(c0, c1)
+                    S[ROW_CNT:ROW_CNT + 1, ls] + float(N)
+            e_all, tnd = fused_dotsN(cs)
             K = KSIZE
             bt = best_t()
 
-            def half(e_off, t_row0):
+            def part(i):
+                e_off, t_row0 = 3 * K * i, K * i
                 e01 = e_all[e_off:e_off + K, :]
                 e12 = e_all[e_off + K:e_off + 2 * K, :]
                 e20 = e_all[e_off + 2 * K:e_off + 3 * K, :]
@@ -1150,38 +1197,40 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                       & (t_num < 0.0) & (t_num > bt * t_den))
                 return e01, e12, e20, t_num, t_den, front, ok
 
-            ha = half(0, 0)
-            hb = half(3 * K, K)
-            any_ok = jnp.any(ha[6]) | jnp.any(hb[6])
+            hs = [part(i) for i in range(N)]
+            any_ok = hs[0][6]
+            for h in hs[1:]:
+                any_ok = any_ok | h[6]
+            any_ok = jnp.any(any_ok)
             gate = ((lambda fn: fn()) if EPILOGUE_MODE == "nogates"
                     else pl.when(any_ok))
 
             @gate
             def _():
-                # 8 lane bits cover the 256 virtual lanes; the coarser key
-                # truncation only affects the conservative `closer` gate —
-                # the written t/u/v come from exact masked reduces.
-                LM2 = jnp.int32(2 * KSIZE - 1)
+                # log2(N*K) lane bits cover the N*K virtual lanes; the
+                # coarser key truncation only affects the conservative
+                # `closer` gate — the written t/u/v come from exact masked
+                # reduces.
+                LMN = jnp.int32(N * KSIZE - 1)
 
                 def keyed(h, lane_off):
                     e01, e12, e20, t_num, t_den, front, ok = h
                     t = t_num * (1.0 / jnp.where(front, t_den, 1.0))
                     t_bits = jax.lax.bitcast_convert_type(
                         jnp.where(ok, t, _F32_MAX), jnp.int32)
-                    key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LM2),
+                    key = jnp.bitwise_or(jnp.bitwise_and(t_bits, ~LMN),
                                          sub_mat + lane_off)
                     return t, key
 
-                ta, key_a = keyed(ha, 0)
-                tb, key_b = keyed(hb, KSIZE)
-                win_key = jnp.minimum(
-                    jnp.min(key_a, axis=0, keepdims=True),
-                    jnp.min(key_b, axis=0, keepdims=True))
+                tks = [keyed(h, i * KSIZE) for i, h in enumerate(hs)]
+                win_key = jnp.min(tks[0][1], axis=0, keepdims=True)
+                for _, k in tks[1:]:
+                    win_key = jnp.minimum(
+                        win_key, jnp.min(k, axis=0, keepdims=True))
                 t_win = jax.lax.bitcast_convert_type(
-                    jnp.bitwise_and(win_key, ~LM2), jnp.float32)
+                    jnp.bitwise_and(win_key, ~LMN), jnp.float32)
                 closer = (t_win < bt) & (t_win < _F32_MAX * 0.25)
-                pick_a = (key_a == win_key)
-                pick_b = (key_b == win_key)
+                picks = [(k == win_key) for _, k in tks]
 
                 def reduced(h, pick, t):
                     e01, e12, e20 = h[0], h[1], h[2]
@@ -1196,18 +1245,18 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                                  axis=0, keepdims=True)
                     return rt, ru, rv
 
-                rta, rua, rva = reduced(ha, pick_a, ta)
-                rtb, rub, rvb = reduced(hb, pick_b, tb)
-                t_sel = rta + rtb
-                u_sel = rua + rub
-                v_sel = rva + rvb
+                t_sel = u_sel = v_sel = None
+                for h, pick, (t, _) in zip(hs, picks, tks):
+                    rt, ru, rv = reduced(h, pick, t)
+                    t_sel = rt if t_sel is None else t_sel + rt
+                    u_sel = ru if u_sel is None else u_sel + ru
+                    v_sel = rv if v_sel is None else v_sel + rv
 
                 RPC = 3 * NCHAN
                 blk = jnp.concatenate(
-                    [chan_ref[pl.ds(pl.multiple_of(c0 * RPC, 8), RPC), :],
-                     chan_ref[pl.ds(pl.multiple_of(c1 * RPC, 8), RPC), :]],
-                    axis=1)                              # (RPC, 2K)
-                pick = jnp.concatenate([pick_a, pick_b], axis=0).astype(
+                    [chan_ref[pl.ds(pl.multiple_of(c * RPC, 8), RPC), :]
+                     for c in cs], axis=1)                # (RPC, NK)
+                pick = jnp.concatenate(picks, axis=0).astype(
                     jnp.bfloat16 if blk.dtype == jnp.bfloat16
                     else jnp.float32)
                 if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan",
@@ -1220,6 +1269,12 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
                            + sel3[2 * NCHAN:3 * NCHAN, :])
                 _chan_writeback(sel, t_sel, u_sel, v_sel, closer)
+
+        def cluster_pass2(c0, c1):
+            cluster_passN([c0, c1])
+
+        def cluster_pass4(c0, c1, c2, c3):
+            cluster_passN([c0, c1, c2, c3])
 
         def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
             """Attribute matmul + exact t/u/v reduces + channel writes for
@@ -1701,6 +1756,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 if pipe:
                     _pipe_word(word, idx_of)
+                elif quad:
+                    pend = _for_set_bits_quad(word, idx_of, cluster_pass4,
+                                              pend)
                 elif pair:
                     pend = _for_set_bits_pair(word, idx_of, cluster_pass2,
                                               pend)
@@ -1726,6 +1784,27 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         sub_pg = jax.lax.broadcasted_iota(jnp.int32, (PW, 1), 0)
         pgw_a = _pack_flags_col(pg_flags, sub_pg)
         pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
+        if quad:
+            pend = (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+                    jnp.int32(0))
+            for w in range(len(pgw_a)):
+                word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
+                pend = _for_set_bits_carry(
+                    word,
+                    lambda dg, p, w=w: page_pass(
+                        jnp.where(desc_global, PW - 1 - (w * 32 + dg),
+                                  w * 32 + dg), p),
+                    pend)
+            p0, p1, p2, n = pend
+
+            @pl.when(n >= 2)
+            def _():
+                cluster_pass2(p0, p1)   # drain two of the leftovers paired
+
+            @pl.when((n == 1) | (n == 3))
+            def _():
+                cluster_pass(jnp.where(n == 1, p0, p2))  # the odd one out
+            return
         if pair:
             pend = jnp.int32(-1)
             for w in range(len(pgw_a)):
