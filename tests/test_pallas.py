@@ -427,11 +427,10 @@ def test_group_pass_cross_word_carry(flag, monkeypatch):
     _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
 
 
-@pytest.mark.skipif(not os.environ.get("UNITY_TPU_SLOW_TESTS"),
-                    reason="multi-page interpret compile takes >30 min on "
-                           "CPU; opt-in: UNITY_TPU_SLOW_TESTS=1")
 @pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD"])
 def test_group_pass_multi_page(flag, monkeypatch):
+    # (~25 s/case interpreted — unlike defer mode, group passes add no
+    # per-page unrolled resolve code, so the multi-page compile stays fast.)
     # Cross-PAGE leftover carry: a pending cluster from page g pairs with
     # the first admitted cluster of page g+1, so fused_dotsN's global
     # epluck/chan row offsets must resolve across page boundaries.
