@@ -53,6 +53,11 @@ class RenderConfig:
     # Environment lookup through a packed RGBE plane (4 gathers/frame instead
     # of 12; ~0.4% radiance quantization, far below MC noise).
     sky_rgbe: bool = True
+    # Environment fetch as one-hot MXU dots (ops/pallas_env.py) instead of
+    # XLA's serial per-ray gather (~22 ns/ray): bit-identical texels, dense
+    # compute. Auto-falls back to the gather for maps the kernel can't hold
+    # in VMEM. Default pending TPU A/B.
+    sky_mxu: bool = False
     # Unbiased Russian-roulette path termination from bounce 3 (survivors are
     # reweighted): collapses deep-bounce ray populations so the wavefront
     # parking skips whole tiles.

@@ -82,6 +82,30 @@ def _rr_uniform(key, cfg: RenderConfig, spp: int, h: int, W: int,
     return to_blocks(full[:, row0:row0 + h, :W].reshape(N))
 
 
+def _env_tap(scene: Scene, cfg: RenderConfig, sky_d, su1, su2,
+             interpret: Optional[bool] = None):
+    """Once-per-frame environment resolve for the recorded miss directions.
+
+    Picks the stochastic RGBE tap (`ops/shade.py`), optionally routed
+    through the MXU one-hot kernel (`ops/pallas_env.py`, bit-identical)
+    when ``cfg.sky_mxu`` is set and the map fits; the non-RGBE bilinear
+    path otherwise. Reference behavior: sky sampled at ray miss,
+    ``RayTraceShader.compute:424-426``."""
+    if su1 is None:
+        return sample_skybox(scene.skybox, sky_d)
+    H, W = scene.skybox.shape[0], scene.skybox.shape[1]
+    if cfg.sky_mxu:
+        from .ops.pallas_env import sample_skybox_rgbe_mxu, usable
+        if usable(H, W):
+            interp = (jax.default_backend() != "tpu"
+                      if interpret is None else interpret)
+            return sample_skybox_rgbe_mxu((H, W), scene.skybox_rgbe,
+                                          sky_d, su1, su2,
+                                          interpret=interp)
+    return sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
+                              packed=scene.skybox_rgbe)
+
+
 def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
                   cfg: RenderConfig, row0: int = 0,
                   rows: Optional[int] = None) -> jnp.ndarray:
@@ -212,10 +236,9 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
         su1 = uniform(jax.random.fold_in(ks, 0))
         su2 = uniform(jax.random.fold_in(ks, 1))
-        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
-                                 packed=scene.skybox_rgbe)
     else:
-        sky = sample_skybox(scene.skybox, sky_d)
+        su1 = su2 = None
+    sky = _env_tap(scene, cfg, sky_d, su1, su2)
     radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
 
     if blocked:
@@ -288,12 +311,10 @@ def _path_trace_split(scene, accel, ro, rd, uni, su1, su2, cfg, interpret,
 
     rad2, se2, sd2 = path_trace(accel, ro_c, rd_c, uni_c, cfg, interpret,
                                 b0=sb, nb=nb2, energy0=en_c, alive0=alive_c)
-    if su1 is not None:
-        sky_c = sample_skybox_rgbe(scene.skybox, sd2, u1=g[nb2 * 5],
-                                   u2=g[nb2 * 5 + 1],
-                                   packed=scene.skybox_rgbe)
-    else:
-        sky_c = sample_skybox(scene.skybox, sd2)
+    sky_c = _env_tap(scene, cfg, sd2,
+                     g[nb2 * 5] if su1 is not None else None,
+                     g[nb2 * 5 + 1] if su1 is not None else None,
+                     interpret=interpret)
     rad_c = vec_ops.add(rad2, vec_ops.mul(se2, sky_c))
     # Pad slots alias ray 0 but are dead from bounce sb, so they add zeros;
     # the explicit mask also covers any overflow-dropped garbage.
@@ -399,11 +420,7 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
         radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni, cfg,
                                             interpret)
 
-    if cfg.sky_rgbe:
-        sky = sample_skybox_rgbe(scene.skybox, sky_d, u1=su1, u2=su2,
-                                 packed=scene.skybox_rgbe)
-    else:
-        sky = sample_skybox(scene.skybox, sky_d)
+    sky = _env_tap(scene, cfg, sky_d, su1, su2, interpret=interpret)
     radiance = vec_ops.add(radiance, vec_ops.mul(sky_e, sky))
 
     if blocked:
