@@ -74,10 +74,12 @@ def _env_kernel(H, W, yx_ref, tab_ref, out_ref):
     out_ref[0, 3:8, :] = jnp.zeros((5, B), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _env_lookup(packed, yn, xn, H: int, W: int, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "interpret", "block"))
+def _env_lookup(packed, yn, xn, H: int, W: int, interpret: bool = False,
+                block: int = 0):
     N = yn.shape[0]
-    B = ENV_BLOCK
+    B = block or ENV_BLOCK
     n_pad = (-N) % B
     yn = jnp.pad(yn, (0, n_pad))
     xn = jnp.pad(xn, (0, n_pad))
@@ -120,7 +122,7 @@ def _env_lookup(packed, yn, xn, H: int, W: int, interpret: bool = False):
 
 
 def sample_skybox_rgbe_mxu(skybox_hw, packed, rd, u1, u2,
-                           interpret: bool = False):
+                           interpret: bool = False, block: int = 0):
     """Stochastic single-tap equirect RGBE lookup on the MXU.
 
     Same (y, x) texel choice as ``sample_skybox_rgbe(u1=, u2=)`` — the
@@ -136,5 +138,5 @@ def sample_skybox_rgbe_mxu(skybox_hw, packed, rd, u1, u2,
     xn = jnp.where(u2 < wx, x1, x0).astype(jnp.int32)
     shp = yn.shape
     r, g, b = _env_lookup(packed, yn.reshape(-1), xn.reshape(-1), H, W,
-                          interpret=interpret)
+                          interpret=interpret, block=block)
     return r.reshape(shp), g.reshape(shp), b.reshape(shp)
