@@ -44,6 +44,34 @@ def test_mxu_tap_bit_exact(n):
                                       np.asarray(got[k]))
 
 
+def test_megakernel_sky_mxu_identical():
+    # The bench path (render_sample_mega) resolves the environment through
+    # the same _env_tap — flag on/off must agree pixel-for-pixel there too.
+    from unityraytracer_tpu.models import primitives as P
+    from unityraytracer_tpu.ops.pallas_trace import prepare_pallas_accel
+    from unityraytracer_tpu.ops.bvh import build_cluster_accel
+    from unityraytracer_tpu.render import render_sample_mega
+
+    b = SceneBuilder()
+    v, f, n = P.icosphere(2)
+    b.add_mesh(v, f, material=Material(albedo=(0.3, 0.6, 0.9)))
+    b.add_sphere((-2.0, 0.8, 0), 0.8)
+    b.set_skybox(sun_sky())
+    scene = b.build()
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    pa = prepare_pallas_accel(accel, scene.materials, scene=scene)
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 0.8, 0),
+                        fov_y_deg=55, aspect=4 / 3)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=3,
+                       tracer="pallas")
+    key = jax.random.key(5)
+    img0 = np.asarray(render_sample_mega(scene, pa, cam, key, cfg))
+    img1 = np.asarray(render_sample_mega(scene, pa, cam, key,
+                                         cfg.replace(sky_mxu=True)))
+    np.testing.assert_array_equal(img0, img1)
+
+
 def test_render_sample_sky_mxu_identical():
     # End-to-end: the sky_mxu config flag must not change a single pixel
     # (same keys -> same stochastic corner picks -> identical texels).
