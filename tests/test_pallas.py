@@ -291,6 +291,7 @@ def test_probe_and_mode_flags_ship_safe():
     # this pin so a stray experiment edit cannot ship silently.
     assert pt.PASS_PAIR is False
     assert pt.PASS_QUAD is False
+    assert pt.PASS_OCT is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
     # split3 exact attributes, distance-ordered traversal, octant binning.
@@ -382,6 +383,7 @@ def test_traversal_modes_match_brute(trav, page_axes):
 @pytest.mark.parametrize("flag,chan_mode", [
     ("PASS_PAIR", "split3"), ("PASS_PAIR", "bf16s3"),
     ("PASS_QUAD", "split3"), ("PASS_QUAD", "bf16s3"),
+    ("PASS_OCT", "split3"),
 ])
 def test_group_pass_matches_brute(flag, chan_mode, monkeypatch):
     # PASS_PAIR/PASS_QUAD test 2/4 admitted clusters per visitation
@@ -397,7 +399,7 @@ def test_group_pass_matches_brute(flag, chan_mode, monkeypatch):
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
-@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD"])
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_cross_word_carry(flag, monkeypatch):
     # >32 admitted clusters per tile forces the unpaired leftover to cross
     # 32-bit bitmask WORD boundaries (the pend carry in _for_set_bits_pair /
@@ -427,7 +429,7 @@ def test_group_pass_cross_word_carry(flag, monkeypatch):
     _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
 
 
-@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD"])
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_multi_page(flag, monkeypatch):
     # (~25 s/case interpreted — unlike defer mode, group passes add no
     # per-page unrolled resolve code, so the multi-page compile stays fast.)

@@ -232,6 +232,11 @@ PASS_PAIR = False
 # admitted cluster. Up to three leftovers carry across words/pages and
 # drain as one pair + one single pass. Takes precedence over PASS_PAIR.
 PASS_QUAD = False
+# Oct-pass traversal: GROUP=8 — one fused pass per eight admitted clusters
+# (24K-row edge dot, 8K-row plane dot, 1024-wide attribute dot). Up to
+# seven leftovers carry and drain as pairs + one single. Takes precedence
+# over PASS_QUAD/PASS_PAIR.
+PASS_OCT = False
 
 
 def _col(row):
@@ -436,14 +441,15 @@ def _for_set_bits_pair(word, idx_of, fire2, pend):
     return jax.lax.while_loop(cond, body, (word, pend))[1]
 
 
-def _for_set_bits_quad(word, idx_of, fire4, pend):
-    """Visit set bits in GREEDY QUADS: clusters accumulate into three
-    pending slots; the fourth found fires ``fire4(p0, p1, p2, c)`` and
-    empties the slots. ``pend`` is ``(p0, p1, p2, n)`` with ``n`` the live
-    slot count (0-3); it carries across words/pages, and the caller drains
-    the final 1-3 leftovers with a pair + single pass. Each loop iteration
-    costs one scalar ctz chain; the heavy fused pass runs under a
-    ``pl.when`` every fourth admitted cluster."""
+def _for_set_bits_group(word, idx_of, fire, pend, nslots):
+    """Visit set bits in GREEDY GROUPS of ``nslots``: clusters accumulate
+    into ``nslots - 1`` pending slots; the last one found fires
+    ``fire(*slots, c)`` and empties the slots. ``pend`` is
+    ``(slots_tuple, n)`` with ``n`` the live slot count; it carries across
+    words/pages, and the caller drains the final leftovers with pair +
+    single passes. Each loop iteration costs one scalar ctz chain; the
+    heavy fused pass runs under a ``pl.when`` every ``nslots``-th admitted
+    cluster."""
     def ctz(v):
         return jnp.round(jnp.log2(jnp.abs(
             v.astype(jnp.float32)))).astype(jnp.int32)
@@ -452,22 +458,21 @@ def _for_set_bits_quad(word, idx_of, fire4, pend):
         return c[0] != 0
 
     def body(c):
-        w, (p0, p1, p2, n) = c
+        w, (slots, n) = c
         low = jnp.bitwise_and(w, jnp.int32(0) - w)
         cid = idx_of(ctz(low))
-        full = n == 3
+        full = n == nslots - 1
 
         @pl.when(full)
         def _():
-            fire4(p0, p1, p2, cid)
+            fire(*slots, cid)
 
         # Slot writes are no-ops when full (n matches no slot index), so
         # the reset below leaves stale ids behind n=0 — never re-read.
-        p0n = jnp.where(n == 0, cid, p0)
-        p1n = jnp.where(n == 1, cid, p1)
-        p2n = jnp.where(n == 2, cid, p2)
+        new_slots = tuple(jnp.where(n == i, cid, s)
+                          for i, s in enumerate(slots))
         nn = jnp.where(full, jnp.int32(0), n + 1)
-        return jnp.bitwise_xor(w, low), (p0n, p1n, p2n, nn)
+        return jnp.bitwise_xor(w, low), (new_slots, nn)
 
     return jax.lax.while_loop(cond, body, (word, pend))[1]
 
@@ -835,8 +840,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                   and not TRACK_WINNERS and not EPILOGUE_LITE
                   and geom in ("mxu_f6", "mxu_f3", "mxu_pf3")
                   and chan_mode in ("split3", "bf16s3"))
-    quad = PASS_QUAD and _groupable
-    pair = PASS_PAIR and _groupable and not quad
+    group_n = ((8 if PASS_OCT else 4 if PASS_QUAD else 0)
+               if _groupable else 0)
+    pair = PASS_PAIR and _groupable and not group_n
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -1273,8 +1279,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         def cluster_pass2(c0, c1):
             cluster_passN([c0, c1])
 
-        def cluster_pass4(c0, c1, c2, c3):
-            cluster_passN([c0, c1, c2, c3])
+        def cluster_pass_group(*cs):
+            cluster_passN(list(cs))
 
         def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
             """Attribute matmul + exact t/u/v reduces + channel writes for
@@ -1756,9 +1762,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 if pipe:
                     _pipe_word(word, idx_of)
-                elif quad:
-                    pend = _for_set_bits_quad(word, idx_of, cluster_pass4,
-                                              pend)
+                elif group_n:
+                    pend = _for_set_bits_group(word, idx_of,
+                                               cluster_pass_group, pend,
+                                               group_n)
                 elif pair:
                     pend = _for_set_bits_pair(word, idx_of, cluster_pass2,
                                               pend)
@@ -1784,8 +1791,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
         sub_pg = jax.lax.broadcasted_iota(jnp.int32, (PW, 1), 0)
         pgw_a = _pack_flags_col(pg_flags, sub_pg)
         pgw_d = _pack_flags_col(pg_flags, PW - 1 - sub_pg)
-        if quad:
-            pend = (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+        if group_n:
+            pend = (tuple(jnp.int32(-1) for _ in range(group_n - 1)),
                     jnp.int32(0))
             for w in range(len(pgw_a)):
                 word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
@@ -1795,15 +1802,21 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         jnp.where(desc_global, PW - 1 - (w * 32 + dg),
                                   w * 32 + dg), p),
                     pend)
-            p0, p1, p2, n = pend
+            slots, n = pend
 
-            @pl.when(n >= 2)
-            def _():
-                cluster_pass2(p0, p1)   # drain two of the leftovers paired
+            # Drain the 0..group_n-1 leftovers as pair passes plus at most
+            # one single (slot index n-1 when n is odd).
+            for k in range(0, group_n - 2, 2):
+                @pl.when(n >= k + 2)
+                def _(k=k):
+                    cluster_pass2(slots[k], slots[k + 1])
+            odd = slots[0]
+            for i in range(2, group_n - 1, 2):
+                odd = jnp.where(n - 1 == i, slots[i], odd)
 
-            @pl.when((n == 1) | (n == 3))
+            @pl.when(n % 2 == 1)
             def _():
-                cluster_pass(jnp.where(n == 1, p0, p2))  # the odd one out
+                cluster_pass(odd)
             return
         if pair:
             pend = jnp.int32(-1)
