@@ -430,6 +430,26 @@ def test_group_pass_cross_word_carry(flag, monkeypatch):
 
 
 @pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
+def test_megakernel_group_pass_identity(flag, monkeypatch):
+    # The bench path (full-path megakernel) shares _trace_block: a group
+    # pass picks the SAME unique-key winner the sequential passes converge
+    # to and writes t/u/v/attributes with the same ops, so images must be
+    # bit-identical with the flag on.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    from unityraytracer_tpu.render import render_sample_mega
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=64 / 48)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=3,
+                       tracer="pallas")
+    key = jax.random.key(9)
+    img0 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
+    monkeypatch.setattr(pt, flag, True)
+    img1 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
+    np.testing.assert_array_equal(img0, img1)
+
+
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_multi_page(flag, monkeypatch):
     # (~25 s/case interpreted — unlike defer mode, group passes add no
     # per-page unrolled resolve code, so the multi-page compile stays fast.)
