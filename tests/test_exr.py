@@ -26,7 +26,50 @@ def test_exr_float32_roundtrip_exact(tmp_path, compression):
     np.testing.assert_array_equal(out, img)
 
 
-@pytest.mark.parametrize("compression", ["none", "zip", "rle", "piz"])
+def test_exr_pxr24_half_lossless_float_24bit(tmp_path):
+    # PXR24 is lossless for HALF channels; FLOAT channels are rounded by
+    # the writer to a 24-bit float (15 significand bits), so round-trip
+    # error is bounded by half an ulp at 2^-15 relative.
+    img = _img(seed=3)
+    ph = str(tmp_path / "rt_pxr24_h.exr")
+    write_exr(ph, img, compression="pxr24", dtype="half")
+    np.testing.assert_array_equal(
+        load_exr(ph), img.astype(np.float16).astype(np.float32))
+    pf = str(tmp_path / "rt_pxr24_f.exr")
+    write_exr(pf, img, compression="pxr24", dtype="float")
+    out = load_exr(pf)
+    np.testing.assert_allclose(out, img, rtol=2.0 ** -15)
+    # The 24-bit quantization actually happened (file is lossy for f32)...
+    assert not np.array_equal(out, img)
+    # ...and the decoded bits are exactly the writer's f24 rounding.
+    from unityraytracer_tpu.models.exr import _float_to_float24
+    expect = (_float_to_float24(img.view(np.uint32)) << np.uint32(8)) \
+        .view(np.float32)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_exr_pxr24_special_values(tmp_path):
+    # floatToFloat24 edge cases: inf survives, NaN stays NaN (never
+    # collapses to inf), near-FLT_MAX rounds by truncation, sign preserved.
+    img = np.zeros((16, 8, 1), np.float32)
+    img[0, 0] = np.inf
+    img[0, 1] = -np.inf
+    img[0, 2] = np.nan
+    img[0, 3] = np.float32(3.4028235e38)      # FLT_MAX
+    img[0, 4] = -1.5
+    img[1, :4] = np.float32(np.frombuffer(
+        np.uint32(0x7F800001).tobytes(), np.float32))   # NaN w/ tiny payload
+    p = str(tmp_path / "pxr24_special.exr")
+    write_exr(p, img, compression="pxr24", dtype="float")
+    out = load_exr(p)
+    assert np.isposinf(out[0, 0, 0]) and np.isneginf(out[0, 1, 0])
+    assert np.isnan(out[0, 2, 0]) and np.isnan(out[1, 0, 0])
+    assert np.isfinite(out[0, 3, 0]) and out[0, 3, 0] > 3.4e38
+    assert out[0, 4, 0] == -1.5
+
+
+@pytest.mark.parametrize("compression", ["none", "zip", "rle", "piz",
+                                         "pxr24"])
 def test_exr_half_roundtrip(tmp_path, compression):
     img = _img(seed=1)
     path = str(tmp_path / f"rt_h_{compression}.exr")
@@ -60,10 +103,10 @@ def test_exr_rejects_unknown_compression(tmp_path):
     idx = raw.index(b"compression\x00compression\x00")
     # Attribute payload byte follows name, type, and int32 size.
     off = idx + len(b"compression\x00compression\x00") + 4
-    raw[off] = 5  # PXR24 (PIZ is supported now)
+    raw[off] = 6  # B44 (PIZ and PXR24 are supported now)
     bad = str(tmp_path / "px_bad.exr")
     open(bad, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="PXR24"):
+    with pytest.raises(ValueError, match="B44"):
         load_exr(bad)
 
 

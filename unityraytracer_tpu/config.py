@@ -98,6 +98,15 @@ class RenderConfig:
     # leave splitting off. The brute/bvh/cluster oracles are unaffected.
     split_bounce: Optional[int] = None
     split_frac: float = 0.125
+    # PRNG implementation for the per-frame random streams
+    # ("threefry2x32" | "rbg"). "rbg" derives keys with threefry but generates bits with the
+    # XLA RngBitGenerator — on TPU that is a hardware instruction, much
+    # cheaper than the ~50M threefry words a 1080p x 8-bounce frame draws
+    # XLA-side. Streams stay deterministic and IDENTICAL across every
+    # tracer for a given key (the cross-tracer golden/oracle gates hold for
+    # any impl); they differ BETWEEN impls, so changing this changes the
+    # noise pattern, not the estimator. Default is JAX's default threefry.
+    rng_impl: str = "threefry2x32"
 
     @property
     def num_pixels(self) -> int:

@@ -6,7 +6,9 @@ the .hdr half is handled by models/skybox.py, this module covers the .exr
 half: single-part scanline files with NONE / RLE / ZIPS / ZIP / PIZ
 compression and HALF / FLOAT / UINT channels — PIZ being the most common
 compression for downloadable 4K EXR HDRIs (wavelet + Huffman, models/piz.py;
-the Huffman hot loop has a native C++ fast path). PXR24 / B44 remain
+the Huffman hot loop has a native C++ fast path), plus PXR24 (per-scanline
+byte-planed deltas + deflate; lossless for HALF/UINT, floats rounded to 24
+bits by the WRITER per spec — decoding is always exact). B44 / B44A remain
 rejected with a clear error; re-export as ZIP is the documented path.
 
 Implemented from the OpenEXR file-layout specification; no external deps
@@ -28,9 +30,10 @@ _COMPRESSION_RLE = 1
 _COMPRESSION_ZIPS = 2   # 1 scanline per chunk
 _COMPRESSION_ZIP = 3    # 16 scanlines per chunk
 _COMPRESSION_PIZ = 4
+_COMPRESSION_PXR24 = 5
 _LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_RLE: 1,
                     _COMPRESSION_ZIPS: 1, _COMPRESSION_ZIP: 16,
-                    _COMPRESSION_PIZ: 32}
+                    _COMPRESSION_PIZ: 32, _COMPRESSION_PXR24: 16}
 _PIXEL_DTYPES = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 _PIXEL_TYPES = {np.dtype("<u4"): 0, np.dtype("<f2"): 1, np.dtype("<f4"): 2}
 
@@ -111,6 +114,77 @@ def _interleave_predict(raw: bytes) -> bytes:
     return (out & 0xFF).astype(np.uint8).tobytes()
 
 
+def _float_to_float24(u: np.ndarray) -> np.ndarray:
+    """Round f32 bit patterns to PXR24's 24-bit float (sign, 8-bit exponent,
+    15-bit significand), matching OpenEXR's ``floatToFloat24``: round the
+    significand to nearest (ties away), truncate instead on exponent
+    overflow, preserve inf/NaN (a NaN whose top 15 significand bits vanish
+    keeps one bit so it doesn't become an infinity)."""
+    u = u.astype(np.uint32)
+    s = u & np.uint32(0x80000000)
+    e = u & np.uint32(0x7F800000)
+    m = u & np.uint32(0x007FFFFF)
+    i = ((e | m) + (m & np.uint32(0x80))) >> np.uint32(8)
+    i = np.where(i >= 0x7F8000, (e | m) >> np.uint32(8), i)
+    mn = m >> np.uint32(8)
+    special = np.where(m != 0, (e >> np.uint32(8)) | mn
+                       | (mn == 0).astype(np.uint32), e >> np.uint32(8))
+    i = np.where(e == 0x7F800000, special, i)
+    return (s >> np.uint32(8)) | i
+
+
+def _pxr24_decompress(payload: bytes, chans, W: int, n_lines: int) -> bytes:
+    """PXR24 chunk decode: deflate, then per scanline x channel undo the
+    byte-plane split (high byte first) and the horizontal delta (running sum
+    from 0, modulo the channel's bit width). FLOAT channels store the top 24
+    bits of the f32 pattern; the dropped low byte is returned as zero."""
+    tmp = zlib.decompress(payload)
+    out = bytearray()
+    pos = 0
+    for _li in range(n_lines):
+        for _cname, dt in chans:
+            nb = 3 if dt == np.dtype("<f4") else dt.itemsize
+            p = np.frombuffer(tmp, np.uint8, nb * W, pos) \
+                .reshape(nb, W).astype(np.uint64)
+            pos += nb * W
+            diff = np.zeros(W, np.uint64)
+            for b in range(nb):
+                diff = (diff << np.uint64(8)) | p[b]
+            pix = np.cumsum(diff) & np.uint64((1 << (8 * nb)) - 1)
+            if dt == np.dtype("<f4"):
+                out += (pix.astype(np.uint32) << np.uint32(8)) \
+                    .astype("<u4").tobytes()
+            elif dt.itemsize == 2:
+                out += pix.astype("<u2").tobytes()
+            else:
+                out += pix.astype("<u4").tobytes()
+    return bytes(out)
+
+
+def _pxr24_compress(raw: bytes, chans, W: int, n_lines: int) -> bytes:
+    """PXR24 chunk encode (inverse of :func:`_pxr24_decompress`); lossy only
+    for FLOAT channels (rounded to 24-bit via :func:`_float_to_float24`)."""
+    tmp = bytearray()
+    pos = 0
+    for _li in range(n_lines):
+        for _cname, dt in chans:
+            vals = np.frombuffer(raw, dt, count=W, offset=pos)
+            pos += W * dt.itemsize
+            if dt == np.dtype("<f4"):
+                pix, nb = _float_to_float24(vals.view("<u4")), 3
+            elif dt.itemsize == 2:
+                pix, nb = vals.view("<u2").astype(np.uint32), 2
+            else:
+                pix, nb = vals.view("<u4"), 4
+            pix = pix.astype(np.uint64)
+            diff = (pix - np.concatenate([[np.uint64(0)], pix[:-1]])) \
+                & np.uint64((1 << (8 * nb)) - 1)
+            for b in range(nb - 1, -1, -1):
+                tmp += ((diff >> np.uint64(8 * b)) & np.uint64(0xFF)) \
+                    .astype(np.uint8).tobytes()
+    return zlib.compress(bytes(tmp))
+
+
 def load_exr(path: str) -> np.ndarray:
     """Read a single-part scanline EXR into (H, W, C) float32.
 
@@ -182,6 +256,8 @@ def load_exr(path: str) -> np.ndarray:
                 from .piz import piz_decompress
                 sizes = [dt.itemsize // 2 for _, dt in chans]
                 payload = piz_decompress(payload, sizes, W, n_lines)
+            elif comp == _COMPRESSION_PXR24:
+                payload = _pxr24_decompress(payload, chans, W, n_lines)
         lpos = 0
         for li in range(n_lines):
             for cname, dt in chans:
@@ -206,7 +282,7 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
     comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
             "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
-            "piz": _COMPRESSION_PIZ}[compression]
+            "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24}[compression]
 
     names = ["R", "G", "B", "A"][:C]
     order = sorted(range(C), key=lambda i: names[i])
@@ -251,6 +327,9 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
             from .piz import piz_compress
             sizes = [dt.itemsize // 2] * C
             packed = piz_compress(raw, sizes, W, n_lines)
+        elif comp == _COMPRESSION_PXR24:
+            packed = _pxr24_compress(raw, [(names[i], dt) for i in order],
+                                     W, n_lines)
         else:
             packed = raw
         if len(packed) >= len(raw):       # spec: keep raw if not smaller

@@ -131,7 +131,7 @@ class ShardedRenderer:
         self.scene = jax.device_put(scene, rep)
         self.accel = jax.device_put(accel, rep) if accel is not None else None
         self.mode = mode
-        self._key = jax.random.key(seed)
+        self._key = jax.random.key(seed, impl=config.rng_impl)
         self._step = make_sharded_step(config, self.mesh, mode)
         self.state = (create_sharded_state(config, self.mesh)
                       if mode == "rows"

@@ -476,7 +476,7 @@ class Renderer:
         # reference's buffer upload at RayTraceMaster.cs:738-745).
         self.scene = jax.device_put(scene)
         self.accel = jax.device_put(accel) if accel is not None else None
-        self._key = jax.random.key(seed)
+        self._key = jax.random.key(seed, impl=config.rng_impl)
         self.state = RenderState.create(config.width, config.height)
         self.stats = {}
         self._compiled = self._build_step()
@@ -707,5 +707,6 @@ class Renderer:
         data = np.load(path)
         self.state = RenderState(accum=jnp.asarray(data["accum"]),
                                  n_samples=jnp.int32(int(data["n_samples"])))
-        self._key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+        self._key = jax.random.wrap_key_data(jnp.asarray(data["key"]),
+                                             impl=self.config.rng_impl)
         return self
