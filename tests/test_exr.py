@@ -68,6 +68,61 @@ def test_exr_pxr24_special_values(tmp_path):
     assert out[0, 4, 0] == -1.5
 
 
+def test_exr_b44_smooth_blocks_exact(tmp_path):
+    # A 4x4 block whose remapped range fits 5-bit deltas packs with
+    # shift=0, which the B44 chain reconstructs EXACTLY (spec property:
+    # base + running differences, exactMax anchoring). A slow gradient in
+    # half-space guarantees that for every block.
+    h, w = 24, 36
+    base = np.float16(1.0).view(np.uint16)
+    ramp = (base + (np.arange(h)[:, None] + np.arange(w)[None, :]) // 2) \
+        .astype(np.uint16).view(np.float16).astype(np.float32)
+    img = np.stack([ramp, ramp * 0 + 0.25, ramp[::-1]], axis=-1)
+    for comp in ("b44", "b44a"):
+        p = str(tmp_path / f"rt_{comp}.exr")
+        write_exr(p, img, compression=comp, dtype="half")
+        np.testing.assert_array_equal(
+            load_exr(p), img.astype(np.float16).astype(np.float32))
+
+
+def test_exr_b44a_flat_blocks_pack3(tmp_path):
+    # B44A stores all-flat 4x4 blocks as 3 bytes; a constant image must
+    # round-trip exactly AND come out smaller than B44's fixed 14/block.
+    img = np.full((32, 64, 3), 0.625, np.float32)
+    pa = str(tmp_path / "flat_a.exr")
+    pb = str(tmp_path / "flat_b.exr")
+    write_exr(pa, img, compression="b44a", dtype="half")
+    write_exr(pb, img, compression="b44", dtype="half")
+    np.testing.assert_array_equal(load_exr(pa), img)
+    np.testing.assert_array_equal(load_exr(pb), img)
+    import os
+    assert os.path.getsize(pa) < os.path.getsize(pb)
+
+
+def test_exr_b44_lossy_bounded_and_specials(tmp_path):
+    # Random same-exponent content: B44 quantization error is bounded by
+    # half the shift step over the block's remapped range — a few percent
+    # here (uniform [0.5, 1.0) keeps each block's half-bit range ~1024, so
+    # shift <= 6 and error <= 32/1024 of one exponent octave).
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.5, 1.0, (16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "noisy_b44.exr")
+    write_exr(p, img, compression="b44", dtype="half")
+    out = load_exr(p)
+    np.testing.assert_allclose(out, img, rtol=0.05)
+    # Inf/NaN are flushed by the ENCODER to the bottom of the remapped
+    # range (exact zero when their block is flat; within block
+    # quantization of zero otherwise — same behavior as libopenexr).
+    img2 = np.full((8, 8, 1), 0.25, np.float32)
+    img2[0, 0] = np.inf
+    img2[4, 4] = np.nan
+    p2 = str(tmp_path / "special_b44.exr")
+    write_exr(p2, img2, compression="b44", dtype="half")
+    out2 = load_exr(p2)
+    assert abs(out2[0, 0, 0]) < 2e-3 and abs(out2[4, 4, 0]) < 2e-3
+    assert np.isfinite(out2).all()
+
+
 @pytest.mark.parametrize("compression", ["none", "zip", "rle", "piz",
                                          "pxr24"])
 def test_exr_half_roundtrip(tmp_path, compression):
@@ -103,10 +158,10 @@ def test_exr_rejects_unknown_compression(tmp_path):
     idx = raw.index(b"compression\x00compression\x00")
     # Attribute payload byte follows name, type, and int32 size.
     off = idx + len(b"compression\x00compression\x00") + 4
-    raw[off] = 6  # B44 (PIZ and PXR24 are supported now)
+    raw[off] = 8  # DWAA (everything through B44A is supported now)
     bad = str(tmp_path / "px_bad.exr")
     open(bad, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="B44"):
+    with pytest.raises(ValueError, match="DWAA"):
         load_exr(bad)
 
 

@@ -8,7 +8,9 @@ compression and HALF / FLOAT / UINT channels — PIZ being the most common
 compression for downloadable 4K EXR HDRIs (wavelet + Huffman, models/piz.py;
 the Huffman hot loop has a native C++ fast path), plus PXR24 (per-scanline
 byte-planed deltas + deflate; lossless for HALF/UINT, floats rounded to 24
-bits by the WRITER per spec — decoding is always exact). B44 / B44A remain
+bits by the WRITER per spec — decoding is always exact) and B44 / B44A
+(fixed-rate 4x4 half blocks, models/b44.py). That is the complete OpenEXR
+v2 scanline compression set except DWAA/DWAB (JPEG-like DCT), which are
 rejected with a clear error; re-export as ZIP is the documented path.
 
 Implemented from the OpenEXR file-layout specification; no external deps
@@ -31,9 +33,12 @@ _COMPRESSION_ZIPS = 2   # 1 scanline per chunk
 _COMPRESSION_ZIP = 3    # 16 scanlines per chunk
 _COMPRESSION_PIZ = 4
 _COMPRESSION_PXR24 = 5
+_COMPRESSION_B44 = 6
+_COMPRESSION_B44A = 7
 _LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_RLE: 1,
                     _COMPRESSION_ZIPS: 1, _COMPRESSION_ZIP: 16,
-                    _COMPRESSION_PIZ: 32, _COMPRESSION_PXR24: 16}
+                    _COMPRESSION_PIZ: 32, _COMPRESSION_PXR24: 16,
+                    _COMPRESSION_B44: 32, _COMPRESSION_B44A: 32}
 _PIXEL_DTYPES = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 _PIXEL_TYPES = {np.dtype("<u4"): 0, np.dtype("<f2"): 1, np.dtype("<f4"): 2}
 
@@ -217,7 +222,7 @@ def load_exr(path: str) -> np.ndarray:
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_CHUNK:
         names = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
-                 5: "PXR24", 6: "B44", 7: "B44A"}
+                 5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
         raise ValueError(
             f"unsupported EXR compression {names.get(comp, comp)}; "
             "re-export with ZIP (every HDRI tool can)")
@@ -258,6 +263,10 @@ def load_exr(path: str) -> np.ndarray:
                 payload = piz_decompress(payload, sizes, W, n_lines)
             elif comp == _COMPRESSION_PXR24:
                 payload = _pxr24_decompress(payload, chans, W, n_lines)
+            elif comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
+                from .b44 import b44_decompress
+                payload = b44_decompress(payload, chans, W, n_lines,
+                                         fixed14=comp == _COMPRESSION_B44)
         lpos = 0
         for li in range(n_lines):
             for cname, dt in chans:
@@ -282,7 +291,8 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
     comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
             "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
-            "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24}[compression]
+            "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
 
     names = ["R", "G", "B", "A"][:C]
     order = sorted(range(C), key=lambda i: names[i])
@@ -330,6 +340,11 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
         elif comp == _COMPRESSION_PXR24:
             packed = _pxr24_compress(raw, [(names[i], dt) for i in order],
                                      W, n_lines)
+        elif comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
+            from .b44 import b44_compress
+            packed = b44_compress(raw, [(names[i], dt) for i in order],
+                                  W, n_lines,
+                                  flat3=comp == _COMPRESSION_B44A)
         else:
             packed = raw
         if len(packed) >= len(raw):       # spec: keep raw if not smaller
