@@ -77,7 +77,7 @@ def main() -> None:
         return jax.lax.fori_loop(0, n_frames, body, state)
 
     state = RenderState.create(cfg.width, cfg.height)
-    key = jax.random.key(0)
+    key = jax.random.key(0, impl=cfg.rng_impl)
 
     # NOTE: jax.block_until_ready does NOT actually block through the axon
     # execution tunnel — only a value fetch synchronizes. All timing below is
@@ -125,7 +125,7 @@ def main() -> None:
     # so the gate covers the megakernel RR against the oracle's XLA RR.
     ccfg = cfg.replace(width=192, height=96, bounces=4, spp=1)
     bcfg = ccfg.replace(tracer="brute", ray_chunk=1024)
-    ckey = jax.random.key(42)
+    ckey = jax.random.key(42, impl=cfg.rng_impl)
 
     @jax.jit
     def check_frame(scene, camera, accel, key, _cfg=ccfg):

@@ -84,6 +84,18 @@ def test_accel_tracer_under_shard_map():
     assert r.sample_count == 2
 
 
+def test_rbg_rng_under_shard_map():
+    # rng_impl="rbg" (XLA RngBitGenerator bits) must compose with shard_map
+    # row bands: per-device fold_in on an rbg key, device-local draws, and
+    # the usual finite/deterministic contract.
+    cfg = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024,
+                      rng_impl="rbg")
+    r1 = ShardedRenderer(SCENE, CAM, cfg, seed=3, mode="rows").step(2)
+    r2 = ShardedRenderer(SCENE, CAM, cfg, seed=3, mode="rows").step(2)
+    assert np.isfinite(r1.image).all()
+    np.testing.assert_array_equal(r1.image, r2.image)
+
+
 def test_pallas_tracer_under_shard_map():
     # The fused-kernel path (interpret mode on CPU) must compose with
     # multi-chip row sharding.
