@@ -68,6 +68,40 @@ def test_exr_pxr24_special_values(tmp_path):
     assert out[0, 4, 0] == -1.5
 
 
+@pytest.mark.parametrize("compression", ["none", "zip", "rle", "piz",
+                                         "pxr24"])
+def test_exr_tiled_one_level_roundtrip(tmp_path, compression):
+    # Tiled single-part files (version flag 0x200) with ragged edge tiles:
+    # 37x53 at 16x16 tiles leaves 5- and 4-pixel tails in each axis.
+    from unityraytracer_tpu.models.exr import write_exr_tiled
+
+    img = _img(h=37, w=53, seed=8)
+    p = str(tmp_path / f"tiled_{compression}.exr")
+    write_exr_tiled(p, img, tile=(16, 16), compression=compression,
+                    dtype="half")
+    np.testing.assert_array_equal(
+        load_exr(p), img.astype(np.float16).astype(np.float32))
+
+
+def test_exr_tiled_mipmap_reads_level0(tmp_path):
+    # MIPMAP files carry a full level chain; the loader must skip the
+    # reduced levels and return only the full-resolution image.
+    from unityraytracer_tpu.models.exr import write_exr_tiled
+
+    img = _img(h=48, w=80, seed=9)
+    p = str(tmp_path / "tiled_mip.exr")
+    write_exr_tiled(p, img, tile=(32, 32), compression="zip", dtype="half",
+                    level_mode="mip")
+    out = load_exr(p)
+    assert out.shape == (48, 80, 3)
+    np.testing.assert_array_equal(
+        out, img.astype(np.float16).astype(np.float32))
+    # The file really contains more than the one level's tiles.
+    from unityraytracer_tpu.models.exr import _tile_level_table
+    tl = _tile_level_table(80, 48, 32, 32, 1, False)
+    assert len(tl) == 7 and sum(x * y for *_, x, y in tl) > 6
+
+
 def test_exr_b44_smooth_blocks_exact(tmp_path):
     # A 4x4 block whose remapped range fits 5-bit deltas packs with
     # shift=0, which the B44 chain reconstructs EXACTLY (spec property:

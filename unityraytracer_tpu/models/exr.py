@@ -3,7 +3,8 @@
 The reference's skybox set is "16 4K HDR/EXR equirect maps"
 (`/root/reference/Assets/Skyboxes/`, import settings in the .meta files);
 the .hdr half is handled by models/skybox.py, this module covers the .exr
-half: single-part scanline files with NONE / RLE / ZIPS / ZIP / PIZ
+half: single-part scanline AND tiled files (ONE_LEVEL / MIPMAP / RIPMAP —
+the full-res level is returned) with NONE / RLE / ZIPS / ZIP / PIZ
 compression and HALF / FLOAT / UINT channels — PIZ being the most common
 compression for downloadable 4K EXR HDRIs (wavelet + Huffman, models/piz.py;
 the Huffman hot loop has a native C++ fast path), plus PXR24 (per-scanline
@@ -190,8 +191,78 @@ def _pxr24_compress(raw: bytes, chans, W: int, n_lines: int) -> bytes:
     return zlib.compress(bytes(tmp))
 
 
+def _decode_chunk(comp: int, payload: bytes, chans, w: int,
+                  n_lines: int) -> bytes:
+    """Decompress one chunk (scanline block or tile) of ``n_lines`` rows of
+    ``w`` pixels to raw scanline-interleaved channel rows."""
+    if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
+        return _unpredict_deinterleave(zlib.decompress(payload))
+    if comp == _COMPRESSION_RLE:
+        return _rle_decompress(payload)
+    if comp == _COMPRESSION_PIZ:
+        from .piz import piz_decompress
+        sizes = [dt.itemsize // 2 for _, dt in chans]
+        return piz_decompress(payload, sizes, w, n_lines)
+    if comp == _COMPRESSION_PXR24:
+        return _pxr24_decompress(payload, chans, w, n_lines)
+    if comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
+        from .b44 import b44_decompress
+        return b44_decompress(payload, chans, w, n_lines,
+                              fixed14=comp == _COMPRESSION_B44)
+    return payload                                     # NONE
+
+
+def _fill_lines(planes, chans, payload: bytes, row0: int, col0: int,
+                w: int, n_lines: int) -> None:
+    lpos = 0
+    for li in range(n_lines):
+        for cname, dt in chans:
+            vals = np.frombuffer(payload, dt, count=w, offset=lpos)
+            planes[cname][row0 + li, col0:col0 + w] = vals.astype(np.float32)
+            lpos += w * dt.itemsize
+
+
+def _level_size(n: int, level: int, round_up: bool) -> int:
+    d = 1 << level
+    return max(1, (n + d - 1) // d if round_up else n // d)
+
+
+def _n_levels(w: int, h: int, level_mode: int, round_up: bool) -> "tuple":
+    """Level grid (nx, ny) for ONE_LEVEL (0) / MIPMAP (1) / RIPMAP (2)."""
+    def levels(n):
+        lv = 1
+        while _level_size(n, lv - 1, round_up) > 1:
+            lv += 1
+        return lv
+    if level_mode == 0:
+        return 1, 1
+    if level_mode == 1:
+        lv = levels(max(w, h))
+        return lv, lv
+    return levels(w), levels(h)
+
+
+def _tile_level_table(W, H, xs, ys, level_mode, round_up):
+    """[(lx, ly, lw, lh, ntx, nty), ...] in file (offset-table) order."""
+    nx, ny = _n_levels(W, H, level_mode, round_up)
+    out = []
+    if level_mode == 1:                                # mipmap: lx == ly
+        pairs = [(l, l) for l in range(nx)]
+    elif level_mode == 2:                              # ripmap: y-major
+        pairs = [(lx, ly) for ly in range(ny) for lx in range(nx)]
+    else:
+        pairs = [(0, 0)]
+    for lx, ly in pairs:
+        lw = _level_size(W, lx, round_up)
+        lh = _level_size(H, ly, round_up)
+        out.append((lx, ly, lw, lh,
+                    (lw + xs - 1) // xs, (lh + ys - 1) // ys))
+    return out
+
+
 def load_exr(path: str) -> np.ndarray:
-    """Read a single-part scanline EXR into (H, W, C) float32.
+    """Read a single-part EXR — scanline, or tiled (ONE_LEVEL / MIPMAP /
+    RIPMAP, returning the full-resolution level) — into (H, W, C) float32.
 
     Channels are returned in R, G, B(, A) order when those names exist,
     otherwise in alphabetical (file) order. Raises ValueError with the
@@ -202,10 +273,11 @@ def load_exr(path: str) -> np.ndarray:
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != _MAGIC:
         raise ValueError("not an EXR file")
-    if version & 0x200:
+    if version & 0x1000:
         raise ValueError("multi-part EXR not supported")
     if version & 0x800:
         raise ValueError("deep-data EXR not supported")
+    tiled = bool(version & 0x200)
 
     pos = 8
     attrs: Dict[str, Tuple[bytes, bytes]] = {}
@@ -241,43 +313,70 @@ def load_exr(path: str) -> np.ndarray:
         chans.append((cname.decode(), _PIXEL_DTYPES[ptype]))
     chans.sort(key=lambda c: c[0])
 
-    lines_per = _LINES_PER_CHUNK[comp]
-    n_chunks = (H + lines_per - 1) // lines_per
-    offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
-
     planes = {name: np.zeros((H, W), np.float32) for name, _ in chans}
-    bytes_per_line = sum(dt.itemsize for _, dt in chans) * W
-    for off in offsets:
-        y, size = struct.unpack_from("<ii", data, off)
-        payload = data[off + 8:off + 8 + size]
-        row0 = y - ymin
-        n_lines = min(lines_per, H - row0)
-        if size < n_lines * bytes_per_line:       # stored only if smaller
-            if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
-                payload = _unpredict_deinterleave(zlib.decompress(payload))
-            elif comp == _COMPRESSION_RLE:
-                payload = _rle_decompress(payload)
-            elif comp == _COMPRESSION_PIZ:
-                from .piz import piz_decompress
-                sizes = [dt.itemsize // 2 for _, dt in chans]
-                payload = piz_decompress(payload, sizes, W, n_lines)
-            elif comp == _COMPRESSION_PXR24:
-                payload = _pxr24_decompress(payload, chans, W, n_lines)
-            elif comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
-                from .b44 import b44_decompress
-                payload = b44_decompress(payload, chans, W, n_lines,
-                                         fixed14=comp == _COMPRESSION_B44)
-        lpos = 0
-        for li in range(n_lines):
-            for cname, dt in chans:
-                n = W * dt.itemsize
-                vals = np.frombuffer(payload, dt, count=W, offset=lpos)
-                planes[cname][row0 + li] = vals.astype(np.float32)
-                lpos += n
+    bpp = sum(dt.itemsize for _, dt in chans)
+
+    if tiled:
+        # tiledesc: xSize, ySize (u32) + mode byte (level mode | rounding<<4).
+        xs, ys, mode = struct.unpack("<IIB", attrs["tiles"][1])
+        level_mode, round_up = mode & 0xF, bool(mode >> 4)
+        table = _tile_level_table(W, H, xs, ys, level_mode, round_up)
+        n_chunks = sum(ntx * nty for _, _, _, _, ntx, nty in table)
+        offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
+        for off in offsets:
+            dx, dy, lx, ly, size = struct.unpack_from("<iiiii", data, off)
+            if lx or ly:                # mip/rip levels beyond full-res
+                continue
+            payload = data[off + 20:off + 20 + size]
+            tw = min(xs, W - dx * xs)
+            th = min(ys, H - dy * ys)
+            if size < th * tw * bpp:    # stored raw only if not smaller
+                payload = _decode_chunk(comp, payload, chans, tw, th)
+            _fill_lines(planes, chans, payload, dy * ys, dx * xs, tw, th)
+    else:
+        lines_per = _LINES_PER_CHUNK[comp]
+        n_chunks = (H + lines_per - 1) // lines_per
+        offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
+        for off in offsets:
+            y, size = struct.unpack_from("<ii", data, off)
+            payload = data[off + 8:off + 8 + size]
+            row0 = y - ymin
+            n_lines = min(lines_per, H - row0)
+            if size < n_lines * bpp * W:      # stored only if smaller
+                payload = _decode_chunk(comp, payload, chans, W, n_lines)
+            _fill_lines(planes, chans, payload, row0, 0, W, n_lines)
 
     order = [n for n in ("R", "G", "B", "A") if n in planes]
     order += [n for n, _ in chans if n not in order]
     return np.stack([planes[n] for n in order], axis=-1)
+
+
+def _encode_chunk(comp: int, block: np.ndarray, order, names, dt) -> bytes:
+    """Encode one (n_lines, w, C) block to a chunk payload (raw fallback
+    per spec: keep the uncompressed bytes when compression doesn't win)."""
+    n_lines, w = block.shape[:2]
+    raw = b""
+    for li in range(n_lines):
+        for i in order:
+            raw += np.ascontiguousarray(block[li, :, i].astype(dt)).tobytes()
+    if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
+        packed = zlib.compress(_interleave_predict(raw))
+    elif comp == _COMPRESSION_RLE:
+        packed = _rle_compress(raw)
+    elif comp == _COMPRESSION_PIZ:
+        from .piz import piz_compress
+        sizes = [dt.itemsize // 2] * len(order)
+        packed = piz_compress(raw, sizes, w, n_lines)
+    elif comp == _COMPRESSION_PXR24:
+        packed = _pxr24_compress(raw, [(names[i], dt) for i in order],
+                                 w, n_lines)
+    elif comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
+        from .b44 import b44_compress
+        packed = b44_compress(raw, [(names[i], dt) for i in order],
+                              w, n_lines, flat3=comp == _COMPRESSION_B44A)
+    else:
+        packed = raw
+    return raw if len(packed) >= len(raw) else packed
 
 
 def write_exr(path: str, img: np.ndarray, compression: str = "zip",
@@ -324,31 +423,8 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     for ci in range(n_chunks):
         row0 = ci * lines_per
         n_lines = min(lines_per, H - row0)
-        raw = b""
-        for li in range(n_lines):
-            for i in order:
-                raw += np.ascontiguousarray(
-                    img[row0 + li, :, i].astype(dt)).tobytes()
-        if comp in (_COMPRESSION_ZIPS, _COMPRESSION_ZIP):
-            packed = zlib.compress(_interleave_predict(raw))
-        elif comp == _COMPRESSION_RLE:
-            packed = _rle_compress(raw)
-        elif comp == _COMPRESSION_PIZ:
-            from .piz import piz_compress
-            sizes = [dt.itemsize // 2] * C
-            packed = piz_compress(raw, sizes, W, n_lines)
-        elif comp == _COMPRESSION_PXR24:
-            packed = _pxr24_compress(raw, [(names[i], dt) for i in order],
-                                     W, n_lines)
-        elif comp in (_COMPRESSION_B44, _COMPRESSION_B44A):
-            from .b44 import b44_compress
-            packed = b44_compress(raw, [(names[i], dt) for i in order],
-                                  W, n_lines,
-                                  flat3=comp == _COMPRESSION_B44A)
-        else:
-            packed = raw
-        if len(packed) >= len(raw):       # spec: keep raw if not smaller
-            packed = raw
+        packed = _encode_chunk(comp, img[row0:row0 + n_lines], order, names,
+                               dt)
         chunks.append((row0, packed))
 
     offset_table_pos = len(header)
@@ -358,6 +434,78 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     for row0, packed in chunks:
         offsets.append(data_start + len(body))
         body += struct.pack("<ii", row0, len(packed)) + packed
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        f.write(body)
+    return path
+
+
+def write_exr_tiled(path: str, img: np.ndarray, tile=(64, 64),
+                    compression: str = "zip", dtype: str = "half",
+                    level_mode: str = "one") -> str:
+    """Write a single-part TILED EXR (version flag 0x200) — ONE_LEVEL or
+    MIPMAP (round-down levels, nearest-sample reductions; loaders read
+    level 0). Exists for round-trip tests and mip-chain export; the
+    reference's HDRI textures commonly ship tiled+mipmapped."""
+    img = np.asarray(img)
+    H, W = img.shape[:2]
+    C = 1 if img.ndim == 2 else img.shape[2]
+    img = img.reshape(H, W, C)
+    dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
+    comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
+            "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
+            "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
+    xs, ys = tile
+    lmode = {"one": 0, "mip": 1}[level_mode]
+
+    names = ["R", "G", "B", "A"][:C]
+    order = sorted(range(C), key=lambda i: names[i])
+
+    def attr(name: str, atype: str, payload: bytes) -> bytes:
+        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+                + struct.pack("<i", len(payload)) + payload)
+
+    chl = b""
+    for i in order:
+        chl += (names[i].encode() + b"\x00"
+                + struct.pack("<iiii", _PIXEL_TYPES[dt], 0, 1, 1))
+    chl += b"\x00"
+    box = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+    header = (struct.pack("<ii", _MAGIC, 2 | 0x200)
+              + attr("channels", "chlist", chl)
+              + attr("compression", "compression", bytes([comp]))
+              + attr("dataWindow", "box2i", box)
+              + attr("displayWindow", "box2i", box)
+              + attr("lineOrder", "lineOrder", b"\x00")
+              + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+              + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+              + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+              + attr("tiles", "tiledesc", struct.pack("<IIB", xs, ys, lmode))
+              + b"\x00")
+
+    table = _tile_level_table(W, H, xs, ys, lmode, round_up=False)
+    chunks = []
+    for lx, ly, lw, lh, ntx, nty in table:
+        lvl = img[::1 << ly, ::1 << lx]  # nearest-sample reduction
+        lvl = lvl[:lh, :lw]
+        for ty in range(nty):
+            for tx in range(ntx):
+                tw = min(xs, lw - tx * xs)
+                th = min(ys, lh - ty * ys)
+                block = lvl[ty * ys:ty * ys + th, tx * xs:tx * xs + tw]
+                packed = _encode_chunk(comp, block, order, names, dt)
+                chunks.append((tx, ty, lx, ly, packed))
+
+    n_chunks = len(chunks)
+    data_start = len(header) + 8 * n_chunks
+    offsets = []
+    body = b""
+    for tx, ty, lx, ly, packed in chunks:
+        offsets.append(data_start + len(body))
+        body += struct.pack("<iiiii", tx, ty, lx, ly, len(packed)) + packed
 
     with open(path, "wb") as f:
         f.write(header)
