@@ -191,6 +191,45 @@ def test_hdr_rle_scanlines(tmp_path):
     assert rel.max() < 0.05
 
 
+def test_hdr_old_style_rle_scanlines(tmp_path):
+    # Legacy Radiance old-style RLE: records are raw RGBE pixels except
+    # (1, 1, 1, n), which repeats the previous pixel n << rshift times
+    # (rshift += 8 per consecutive marker). W < 8 forces the non-new-style
+    # branch; also covers a >255 repeat via chained markers on a wide row.
+    H, W = 2, 4
+    img = np.zeros((H, W, 3), np.float32)
+    img[0, :] = [2.0, 0.5, 0.25]          # constant row -> one repeat
+    img[1, :] = [[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0]]
+    rgbe = float_to_rgbe(img)
+    path = tmp_path / "old_rle.hdr"
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {H} +X {W}\n".encode())
+        f.write(bytes(rgbe[0, 0].tolist()) + bytes([1, 1, 1, 3]))
+        f.write(bytes(rgbe[1, 0].tolist()) + bytes([1, 1, 1, 1])
+                + bytes(rgbe[1, 2].tolist()) + bytes([1, 1, 1, 1]))
+    back = load_hdr(str(path))
+    rel = np.abs(back - img) / np.maximum(img, 1e-2)
+    assert rel.max() < 0.05
+
+    # Chained markers: 300 = 44 + (1 << 8) repeats on a 512-wide row
+    # (flat fast path must NOT trigger: markers present).
+    W2 = 512
+    img2 = np.broadcast_to(np.float32([0.5, 1.0, 2.0]), (1, W2, 3)).copy()
+    rgbe2 = float_to_rgbe(img2)
+    p2 = tmp_path / "old_rle_chain.hdr"
+    with open(p2, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y 1 +X {W2}\n".encode())
+        px = bytes(rgbe2[0, 0].tolist())
+        # 1 literal + 255 repeat + chained (1 << 8) repeat = 512... chain
+        # semantics: second consecutive marker count = e << 8.
+        f.write(px + bytes([1, 1, 1, 255]) + bytes([1, 1, 1, 1]))
+    back2 = load_hdr(str(p2))
+    rel2 = np.abs(back2 - img2) / np.maximum(img2, 1e-2)
+    assert back2.shape == (1, W2, 3) and rel2.max() < 0.05
+
+
 def test_load_mtl_mapping():
     from unityraytracer_tpu.models.obj import load_mtl
 

@@ -18,8 +18,9 @@ import numpy as np
 def load_hdr(path: str) -> np.ndarray:
     """Read a Radiance RGBE (.hdr) file into (H, W, 3) float32 linear.
 
-    Supports the common ``32-bit_rle_rgbe`` format with new-style scanline RLE
-    and flat (uncompressed) scanlines; -Y H +X W orientation.
+    Supports the common ``32-bit_rle_rgbe`` format with new-style scanline
+    RLE, flat (uncompressed) scanlines, and legacy old-style RLE
+    ((1,1,1,n) repeat markers); -Y H +X W orientation.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -46,9 +47,36 @@ def load_hdr(path: str) -> np.ndarray:
     bp = 0
     for row in range(H):
         if W < 8 or W > 0x7FFF or not (buf[bp] == 2 and buf[bp + 1] == 2):
-            # Flat scanline.
-            rgbe[row] = buf[bp:bp + W * 4].reshape(W, 4)
-            bp += W * 4
+            # Flat or OLD-style RLE scanline: records are pixels, except
+            # (1, 1, 1, n) which repeats the previous pixel n << rshift
+            # times (rshift grows by 8 per consecutive marker — Radiance
+            # color.c oldreadcolrs). A pure-flat row (no markers in the
+            # next W records) takes the vectorized copy.
+            chunk = buf[bp:bp + W * 4]
+            if chunk.size == W * 4:
+                recs = chunk.reshape(W, 4)
+                if not ((recs[:, 0] == 1) & (recs[:, 1] == 1)
+                        & (recs[:, 2] == 1)).any():
+                    rgbe[row] = recs
+                    bp += W * 4
+                    continue
+            x = 0
+            rshift = 0
+            while x < W:
+                r_, g_, b_, e_ = buf[bp:bp + 4]
+                bp += 4
+                if r_ == 1 and g_ == 1 and b_ == 1:
+                    count = int(e_) << rshift
+                    if x == 0:
+                        raise ValueError(
+                            "old-RLE repeat with no previous pixel")
+                    rgbe[row, x:x + count] = rgbe[row, x - 1]
+                    x += count
+                    rshift += 8
+                else:
+                    rgbe[row, x] = (r_, g_, b_, e_)
+                    x += 1
+                    rshift = 0
             continue
         if ((int(buf[bp + 2]) << 8) | int(buf[bp + 3])) != W:
             raise ValueError("scanline width mismatch")
