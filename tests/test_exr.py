@@ -102,6 +102,26 @@ def test_exr_tiled_mipmap_reads_level0(tmp_path):
     assert len(tl) == 7 and sum(x * y for *_, x, y in tl) > 6
 
 
+def test_exr_multipart_roundtrip(tmp_path):
+    # Multi-part files (version flag 0x1000): select a part by index or by
+    # name; different sizes per part; chunks carry the part-number prefix.
+    from unityraytracer_tpu.models.exr import write_exr_multipart
+
+    beauty = _img(h=24, w=32, seed=12)
+    depth = _img(h=40, w=20, c=1, seed=13)
+    p = str(tmp_path / "multi.exr")
+    write_exr_multipart(p, [("beauty", beauty), ("depth", depth)],
+                        compression="zip")
+    exp_b = beauty.astype(np.float16).astype(np.float32)
+    exp_d = depth.astype(np.float16).astype(np.float32)
+    np.testing.assert_array_equal(load_exr(p), exp_b)          # default: 0
+    np.testing.assert_array_equal(load_exr(p, part=1), exp_d)
+    np.testing.assert_array_equal(load_exr(p, part="depth"), exp_d)
+    np.testing.assert_array_equal(load_exr(p, part="beauty"), exp_b)
+    with pytest.raises(ValueError, match="no part named"):
+        load_exr(p, part="normals")
+
+
 def test_exr_b44_smooth_blocks_exact(tmp_path):
     # A 4x4 block whose remapped range fits 5-bit deltas packs with
     # shift=0, which the B44 chain reconstructs EXACTLY (spec property:

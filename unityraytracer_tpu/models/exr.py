@@ -3,8 +3,8 @@
 The reference's skybox set is "16 4K HDR/EXR equirect maps"
 (`/root/reference/Assets/Skyboxes/`, import settings in the .meta files);
 the .hdr half is handled by models/skybox.py, this module covers the .exr
-half: single-part scanline AND tiled files (ONE_LEVEL / MIPMAP / RIPMAP —
-the full-res level is returned) with NONE / RLE / ZIPS / ZIP / PIZ
+half: scanline AND tiled files (ONE_LEVEL / MIPMAP / RIPMAP — the full-res
+level is returned), single- AND multi-part, with NONE / RLE / ZIPS / ZIP / PIZ
 compression and HALF / FLOAT / UINT channels — PIZ being the most common
 compression for downloadable 4K EXR HDRIs (wavelet + Huffman, models/piz.py;
 the Huffman hot loop has a native C++ fast path), plus PXR24 (per-scanline
@@ -260,26 +260,8 @@ def _tile_level_table(W, H, xs, ys, level_mode, round_up):
     return out
 
 
-def load_exr(path: str) -> np.ndarray:
-    """Read a single-part EXR — scanline, or tiled (ONE_LEVEL / MIPMAP /
-    RIPMAP, returning the full-resolution level) — into (H, W, C) float32.
-
-    Channels are returned in R, G, B(, A) order when those names exist,
-    otherwise in alphabetical (file) order. Raises ValueError with the
-    compression name for unsupported variants.
-    """
-    with open(path, "rb") as f:
-        data = f.read()
-    magic, version = struct.unpack_from("<ii", data, 0)
-    if magic != _MAGIC:
-        raise ValueError("not an EXR file")
-    if version & 0x1000:
-        raise ValueError("multi-part EXR not supported")
-    if version & 0x800:
-        raise ValueError("deep-data EXR not supported")
-    tiled = bool(version & 0x200)
-
-    pos = 8
+def _read_header(data: bytes, pos: int):
+    """Parse one attribute block (terminated by an empty name)."""
     attrs: Dict[str, Tuple[bytes, bytes]] = {}
     while True:
         name, pos = _read_cstr(data, pos)
@@ -290,7 +272,10 @@ def load_exr(path: str) -> np.ndarray:
         pos += 4
         attrs[name.decode()] = (atype, data[pos:pos + size])
         pos += size
+    return attrs, pos
 
+
+def _validated_comp(attrs) -> int:
     comp = attrs["compression"][1][0]
     if comp not in _LINES_PER_CHUNK:
         names = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
@@ -298,11 +283,12 @@ def load_exr(path: str) -> np.ndarray:
         raise ValueError(
             f"unsupported EXR compression {names.get(comp, comp)}; "
             "re-export with ZIP (every HDRI tool can)")
-    xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
-    W, H = xmax - xmin + 1, ymax - ymin + 1
+    return comp
 
-    # Channel list: sorted by name in the file; each scanline stores channels
-    # in that order.
+
+def _parse_channels(attrs) -> List[Tuple[str, np.dtype]]:
+    """Channel list: sorted by name in the file; each scanline stores
+    channels in that order."""
     chans: List[Tuple[str, np.dtype]] = []
     cdata = attrs["channels"][1]
     cpos = 0
@@ -312,18 +298,41 @@ def load_exr(path: str) -> np.ndarray:
         cpos += 16
         chans.append((cname.decode(), _PIXEL_DTYPES[ptype]))
     chans.sort(key=lambda c: c[0])
+    return chans
 
+
+def _part_chunk_count(attrs) -> int:
+    """Chunk count for a header: the required chunkCount attribute in
+    multi-part files, else derived from compression/tiling + dataWindow."""
+    if "chunkCount" in attrs:
+        return struct.unpack("<i", attrs["chunkCount"][1][:4])[0]
+    xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
+    W, H = xmax - xmin + 1, ymax - ymin + 1
+    if "tiles" in attrs:
+        xs, ys, mode = struct.unpack("<IIB", attrs["tiles"][1])
+        table = _tile_level_table(W, H, xs, ys, mode & 0xF, bool(mode >> 4))
+        return sum(ntx * nty for _, _, _, _, ntx, nty in table)
+    lines_per = _LINES_PER_CHUNK[_validated_comp(attrs)]
+    return (H + lines_per - 1) // lines_per
+
+
+def _decode_part(data: bytes, attrs, offsets, tiled: bool,
+                 hdr_bytes: int) -> np.ndarray:
+    """Decode one image part from its chunk offsets. ``hdr_bytes`` is the
+    per-chunk prefix before the standard chunk fields (4 in multi-part
+    files: the part-number int; 0 otherwise)."""
+    comp = _validated_comp(attrs)
+    xmin, ymin, xmax, ymax = struct.unpack("<iiii", attrs["dataWindow"][1])
+    W, H = xmax - xmin + 1, ymax - ymin + 1
+    chans = _parse_channels(attrs)
     planes = {name: np.zeros((H, W), np.float32) for name, _ in chans}
     bpp = sum(dt.itemsize for _, dt in chans)
 
     if tiled:
         # tiledesc: xSize, ySize (u32) + mode byte (level mode | rounding<<4).
         xs, ys, mode = struct.unpack("<IIB", attrs["tiles"][1])
-        level_mode, round_up = mode & 0xF, bool(mode >> 4)
-        table = _tile_level_table(W, H, xs, ys, level_mode, round_up)
-        n_chunks = sum(ntx * nty for _, _, _, _, ntx, nty in table)
-        offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
         for off in offsets:
+            off += hdr_bytes
             dx, dy, lx, ly, size = struct.unpack_from("<iiiii", data, off)
             if lx or ly:                # mip/rip levels beyond full-res
                 continue
@@ -335,9 +344,8 @@ def load_exr(path: str) -> np.ndarray:
             _fill_lines(planes, chans, payload, dy * ys, dx * xs, tw, th)
     else:
         lines_per = _LINES_PER_CHUNK[comp]
-        n_chunks = (H + lines_per - 1) // lines_per
-        offsets = struct.unpack_from(f"<{n_chunks}q", data, pos)
         for off in offsets:
+            off += hdr_bytes
             y, size = struct.unpack_from("<ii", data, off)
             payload = data[off + 8:off + 8 + size]
             row0 = y - ymin
@@ -349,6 +357,61 @@ def load_exr(path: str) -> np.ndarray:
     order = [n for n in ("R", "G", "B", "A") if n in planes]
     order += [n for n, _ in chans if n not in order]
     return np.stack([planes[n] for n in order], axis=-1)
+
+
+def load_exr(path: str, part=0) -> np.ndarray:
+    """Read an EXR image into (H, W, C) float32 — scanline or tiled
+    (ONE_LEVEL / MIPMAP / RIPMAP, returning the full-resolution level),
+    single- or multi-part (``part`` selects by index or part name;
+    deep-data parts are rejected).
+
+    Channels are returned in R, G, B(, A) order when those names exist,
+    otherwise in alphabetical (file) order. Raises ValueError with the
+    compression name for unsupported variants.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<ii", data, 0)
+    if magic != _MAGIC:
+        raise ValueError("not an EXR file")
+    multi = bool(version & 0x1000)
+    if (version & 0x800) and not multi:
+        raise ValueError("deep-data EXR not supported")
+
+    pos = 8
+    headers = []
+    if multi:
+        while data[pos] != 0:       # header sequence + extra terminator
+            attrs, pos = _read_header(data, pos)
+            headers.append(attrs)
+        pos += 1
+    else:
+        attrs, pos = _read_header(data, pos)
+        headers.append(attrs)
+
+    if isinstance(part, str):
+        names = [a.get("name", (b"", b""))[1].split(b"\x00")[0].decode()
+                 for a in headers]
+        if part not in names:
+            raise ValueError(f"no part named {part!r}; parts: {names}")
+        sel = names.index(part)
+    else:
+        sel = part
+    attrs = headers[sel]
+    ptype = attrs.get("type", (b"", b"scanlineimage"))[1].split(b"\x00")[0]
+    if ptype not in (b"scanlineimage", b"tiledimage"):
+        raise ValueError(f"EXR part type {ptype.decode()!r} not supported")
+
+    # Offset tables follow the header block, one per part, in order.
+    tables = []
+    for a in headers:
+        n = _part_chunk_count(a)
+        tables.append(struct.unpack_from(f"<{n}q", data, pos))
+        pos += 8 * n
+
+    tiled = (ptype == b"tiledimage") if multi else bool(version & 0x200)
+    return _decode_part(data, attrs, tables[sel], tiled,
+                        hdr_bytes=4 if multi else 0)
 
 
 def _encode_chunk(comp: int, block: np.ndarray, order, names, dt) -> bytes:
@@ -438,6 +501,79 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     with open(path, "wb") as f:
         f.write(header)
         f.write(struct.pack(f"<{n_chunks}q", *offsets))
+        f.write(body)
+    return path
+
+
+def write_exr_multipart(path: str, parts, compression: str = "zip",
+                        dtype: str = "half") -> str:
+    """Write a multi-part scanline EXR (version flag 0x1000): ``parts`` is
+    ``[(name, (H, W, C) array), ...]``. Each part gets the required name /
+    type / chunkCount attributes; chunks carry the part-number prefix.
+    Exists for round-trip tests and multi-layer export (AOV-style files)."""
+    dt = np.dtype("<f2") if dtype == "half" else np.dtype("<f4")
+    comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
+            "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
+            "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
+    lines_per = _LINES_PER_CHUNK[comp]
+
+    def attr(name: str, atype: str, payload: bytes) -> bytes:
+        return (name.encode() + b"\x00" + atype.encode() + b"\x00"
+                + struct.pack("<i", len(payload)) + payload)
+
+    headers = b""
+    packed_parts = []
+    for pname, img in parts:
+        img = np.asarray(img)
+        H, W = img.shape[:2]
+        C = 1 if img.ndim == 2 else img.shape[2]
+        img = img.reshape(H, W, C)
+        names = ["R", "G", "B", "A"][:C]
+        order = sorted(range(C), key=lambda i: names[i])
+        n_chunks = (H + lines_per - 1) // lines_per
+        chl = b""
+        for i in order:
+            chl += (names[i].encode() + b"\x00"
+                    + struct.pack("<iiii", _PIXEL_TYPES[dt], 0, 1, 1))
+        chl += b"\x00"
+        box = struct.pack("<iiii", 0, 0, W - 1, H - 1)
+        headers += (attr("channels", "chlist", chl)
+                    + attr("compression", "compression", bytes([comp]))
+                    + attr("dataWindow", "box2i", box)
+                    + attr("displayWindow", "box2i", box)
+                    + attr("lineOrder", "lineOrder", b"\x00")
+                    + attr("name", "string", pname.encode())
+                    + attr("type", "string", b"scanlineimage")
+                    + attr("chunkCount", "int", struct.pack("<i", n_chunks))
+                    + attr("pixelAspectRatio", "float",
+                           struct.pack("<f", 1.0))
+                    + attr("screenWindowCenter", "v2f",
+                           struct.pack("<ff", 0, 0))
+                    + attr("screenWindowWidth", "float",
+                           struct.pack("<f", 1.0))
+                    + b"\x00")
+        chunks = []
+        for ci in range(n_chunks):
+            row0 = ci * lines_per
+            n_lines = min(lines_per, H - row0)
+            chunks.append((row0, _encode_chunk(comp, img[row0:row0 + n_lines],
+                                               order, names, dt)))
+        packed_parts.append(chunks)
+
+    header = struct.pack("<ii", _MAGIC, 2 | 0x1000) + headers + b"\x00"
+    total_chunks = sum(len(c) for c in packed_parts)
+    data_start = len(header) + 8 * total_chunks
+    offsets = []
+    body = b""
+    for pi, chunks in enumerate(packed_parts):
+        for row0, packed in chunks:
+            offsets.append(data_start + len(body))
+            body += struct.pack("<iii", pi, row0, len(packed)) + packed
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{total_chunks}q", *offsets))
         f.write(body)
     return path
 
