@@ -450,6 +450,39 @@ def render_frame(scene: Scene, cfg: RenderConfig, camera: Camera, key,
                          rows=rows)
 
 
+def render_aovs(scene: Scene, cfg: RenderConfig, camera: Camera, accel=None):
+    """First-hit G-buffer at pixel centers (no jitter, no DoF): albedo /
+    normal / emission (H, W, 3), depth (H, W; 0 at misses), and a boolean
+    hit mask. Deterministic (no RNG), so every tracer returns the same
+    buffers. These are the guide inputs for the guided a-trous denoiser
+    (utils/denoise.py) and the AOV export (`Renderer.save_aovs`) — a
+    G-buffer the reference never surfaces (its RayHit lives only inside
+    the kernel, compute:36-41)."""
+    from .ops.shade import MISS_T
+
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    H, W = cfg.height, cfg.width
+    N = H * W
+    px = jnp.broadcast_to(jnp.arange(W)[None, :], (H, W))
+    py = jnp.broadcast_to((H - 1 - jnp.arange(H))[:, None], (H, W))
+    u = ((px.astype(jnp.float32) + 0.5) / W * 2.0 - 1.0).reshape(N)
+    v = ((py.astype(jnp.float32) + 0.5) / H * 2.0 - 1.0).reshape(N)
+    zero = jnp.zeros((N,), jnp.float32)
+    ro, rd = camera_rays_soa(camera, u, v, zero, zero)
+    tracer = get_tracer(scene, cfg, accel)
+    hit = tracer(ro, rd, jnp.ones((N,), bool), bin_rays=False)
+    hitm = hit.t < MISS_T
+
+    def img3(v3):
+        return jnp.stack([jnp.where(hitm, c, 0.0).reshape(H, W)
+                          for c in v3], axis=-1)
+
+    return dict(albedo=img3(hit.albedo), normal=img3(hit.normal),
+                emission=img3(hit.emission),
+                depth=jnp.where(hitm, hit.t, 0.0).reshape(H, W),
+                hit=hitm.reshape(H, W))
+
+
 def progressive_step(state: RenderState, frame: jnp.ndarray) -> RenderState:
     """Running mean with weight 1/(N+1) (AdditionShader.shader:40)."""
     n = state.n_samples.astype(jnp.float32)
@@ -659,16 +692,50 @@ class Renderer:
         """Current converged image, (H, W, 3) linear float32, row 0 = top."""
         return np.asarray(jax.device_get(self.state.accum))
 
+    def aovs(self) -> dict:
+        """First-hit G-buffer (albedo/normal/emission/depth/hit) as device
+        arrays; recomputed per call (cheap single-bounce trace), jitted
+        once per config."""
+        if getattr(self, "_aov_cfg", None) is not self.config:
+            self._aov_cfg = self.config
+            self._aov_fn = jax.jit(
+                functools.partial(render_aovs, cfg=self.config))
+        return self._aov_fn(self.scene, camera=self.camera, accel=self.accel)
+
     def denoised_image(self, iterations: int = 3,
-                       sigma_color: float = 0.1) -> np.ndarray:
+                       sigma_color: float = 0.1,
+                       guided: bool = False) -> np.ndarray:
         """Edge-preserving a-trous denoise of the current accumulator
         (utils/denoise.py) — preview tool the reference lacks; the
-        progressive mean itself stays untouched/unbiased."""
+        progressive mean itself stays untouched/unbiased. ``guided=True``
+        adds albedo/normal edge-stopping from the first-hit G-buffer
+        (texture detail survives aggressive color sigmas)."""
         from .utils.denoise import atrous_denoise
 
+        kw = {}
+        if guided:
+            g = self.aovs()
+            kw = dict(albedo=g["albedo"], normal=g["normal"])
         return np.asarray(jax.device_get(
             jax.jit(atrous_denoise, static_argnums=(1,))(
-                self.state.accum, iterations, sigma_color)))
+                self.state.accum, iterations, sigma_color, **kw)))
+
+    def save_aovs(self, path: str, tonemapped_beauty: bool = False) -> str:
+        """Write beauty + G-buffer AOVs as one multi-part EXR (parts:
+        beauty, albedo, normal, depth, emission) — the multi-layer export
+        path compositors expect."""
+        from .models.exr import write_exr_multipart
+
+        g = {k: np.asarray(jax.device_get(v)) for k, v in self.aovs().items()}
+        beauty = self.image
+        if tonemapped_beauty:
+            from .utils.image import tonemap_aces
+            beauty = tonemap_aces(beauty)
+        write_exr_multipart(path, [
+            ("beauty", beauty), ("albedo", g["albedo"]),
+            ("normal", g["normal"]), ("depth", g["depth"]),
+            ("emission", g["emission"])])
+        return path
 
     @property
     def sample_count(self) -> int:
