@@ -612,7 +612,7 @@ class Renderer:
 
     def watch(self, path: str = "preview.png", every: int = 4,
               frames: Optional[int] = None, denoise: bool = True,
-              http_port: Optional[int] = None,
+              guided: bool = False, http_port: Optional[int] = None,
               on_update: Optional[Callable] = None) -> "Renderer":
         """Progressive live preview — the reference's per-editor-frame
         display loop (`OnRenderImage`/`Graphics.Blit`,
@@ -636,7 +636,8 @@ class Renderer:
                 n = every if frames is None \
                     else min(every, frames - self.sample_count)
                 self.step(n)
-                img = self.denoised_image() if denoise else self.image
+                img = (self.denoised_image(guided=guided) if denoise
+                       else self.image)
                 fd, tmp = tempfile.mkstemp(
                     dir=os.path.dirname(os.path.abspath(path)) or ".",
                     suffix=".png")
