@@ -236,6 +236,27 @@ def test_rng_impl_rbg_cross_tracer():
     assert rmse(a, b) < 1e-7
 
 
+def test_cli_render_and_info(tmp_path, capsys):
+    # python -m unityraytracer_tpu: the headless equivalent of driving the
+    # reference from the editor (render -> PNG + AOV EXR; info).
+    import os
+    from unityraytracer_tpu.__main__ import main
+    from unityraytracer_tpu.models.exr import load_exr
+
+    assert main(["info", "--scene", "scene1"]) == 0
+    out = capsys.readouterr().out
+    assert "8 spheres" in out and "triangles" in out
+
+    png = str(tmp_path / "cli.png")
+    aovs = str(tmp_path / "cli_aovs.exr")
+    rc = main(["render", "--scene", "scene1", "--width", "64", "--height",
+               "48", "--bounces", "2", "--frames", "2", "--tracer",
+               "cluster", "-o", png, "--aovs", aovs])
+    assert rc == 0
+    assert os.path.getsize(png) > 100
+    assert load_exr(aovs, part="albedo").shape == (48, 64, 3)
+
+
 def test_watch_progressive_preview(tmp_path):
     # Renderer.watch: the OnRenderImage display analog — progressive file
     # refresh with atomic replace + a local HTTP preview.
