@@ -84,6 +84,23 @@ def test_accel_tracer_under_shard_map():
     assert r.sample_count == 2
 
 
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    # ShardedRenderer save/load: the gathered accumulator + key re-shard
+    # onto the mesh, and stepping after resume matches an uninterrupted
+    # run exactly (same key stream, same decisions).
+    cfg = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024)
+    a = ShardedRenderer(SCENE, CAM, cfg, seed=5, mode="rows").step(2)
+    p = str(tmp_path / "shard_ckpt.npz")
+    a.save_state(p)
+    b = ShardedRenderer(SCENE, CAM, cfg, seed=99, mode="rows").load_state(p)
+    assert b.sample_count == 2
+    np.testing.assert_array_equal(a.image, b.image)
+    np.testing.assert_array_equal(a.step(2).image, b.step(2).image)
+    out = a.save_screenshot(str(tmp_path / "shard.png"))
+    import os
+    assert os.path.getsize(out) > 100
+
+
 def test_rbg_rng_under_shard_map():
     # rng_impl="rbg" (XLA RngBitGenerator bits) must compose with shard_map
     # row bands: per-device fold_in on an rbg key, device-local draws, and

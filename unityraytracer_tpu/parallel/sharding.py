@@ -151,3 +151,38 @@ class ShardedRenderer:
     @property
     def sample_count(self) -> int:
         return int(np.asarray(jax.device_get(self.state.n_samples)))
+
+    # -- export / checkpoint (Renderer parity across the mesh) ---------------
+    def save_screenshot(self, path=None, tonemap: bool = True) -> str:
+        """PNG export of the gathered framebuffer (Renderer analog)."""
+        import os
+        import time as _time
+        from ..utils.image import tonemap_aces, write_png
+
+        if path is None:
+            os.makedirs("Screenshots", exist_ok=True)
+            path = os.path.join(
+                "Screenshots", f"{int(_time.time())}-{self.sample_count}.png")
+        img = self.image
+        return write_png(path, tonemap_aces(img) if tonemap else img)
+
+    def save_state(self, path: str) -> str:
+        """Checkpoint the gathered accumulator + RNG key; resumable on any
+        mesh shape (load re-shards by rows)."""
+        np.savez(path, accum=self.image,
+                 n_samples=np.int32(self.sample_count),
+                 key=np.asarray(jax.random.key_data(self._key)))
+        return path
+
+    def load_state(self, path: str) -> "ShardedRenderer":
+        data = np.load(path)
+        accum = jnp.asarray(data["accum"])
+        n = jnp.int32(int(data["n_samples"]))
+        if self.mode == "rows":
+            sharding = NamedSharding(self.mesh, P(AXIS, None, None))
+            accum = jax.device_put(accum, sharding)
+            n = jax.device_put(n, NamedSharding(self.mesh, P()))
+        self.state = RenderState(accum=accum, n_samples=n)
+        self._key = jax.random.wrap_key_data(
+            jnp.asarray(data["key"]), impl=self.config.rng_impl)
+        return self
