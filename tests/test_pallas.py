@@ -287,9 +287,11 @@ def test_probe_and_mode_flags_ship_safe():
     assert pt.CLOSER_GATE is False
     assert pt.REGATE is False
     # PASS_PAIR/PASS_QUAD ship per their measured TPU verdict (see the flag
-    # docstrings); whatever that verdict is, the shipped value must match
-    # this pin so a stray experiment edit cannot ship silently.
-    assert pt.PASS_PAIR is False
+    # docstrings); the shipped value must match this pin so a stray
+    # experiment edit cannot ship silently. PAIR measured 200.6 -> 173.1
+    # ms/frame bit-identical (ships ON); QUAD/OCT measured 300.9/423.3
+    # (ship OFF).
+    assert pt.PASS_PAIR is True
     assert pt.PASS_QUAD is False
     assert pt.PASS_OCT is False
     assert pp.ABLATE == frozenset()

@@ -56,8 +56,9 @@ class RenderConfig:
     # Environment fetch as one-hot MXU dots (ops/pallas_env.py) instead of
     # XLA's serial per-ray gather (~22 ns/ray): bit-identical texels, dense
     # compute. Auto-falls back to the gather for maps the kernel can't hold
-    # in VMEM. Default pending TPU A/B.
-    sky_mxu: bool = False
+    # in VMEM. MEASURED on v5e: 173.1 -> 170.6 ms/frame on the bench scene
+    # (bit-identical accumulator), so it ships on.
+    sky_mxu: bool = True
     # Unbiased Russian-roulette path termination from bounce 3 (survivors are
     # reweighted): collapses deep-bounce ray populations so the wavefront
     # parking skips whole tiles.

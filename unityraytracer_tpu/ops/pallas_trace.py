@@ -225,7 +225,11 @@ CLOSER_GATE = False
 # while culling granularity stays at 128 triangles; leftovers carry
 # across words/pages and drain as a single pass. Fused geom + split3/
 # bf16s3 chan + bitmask trav only.
-PASS_PAIR = False
+# MEASURED on v5e (bench scene, 1080p/100k/8b): 200.6 -> 173.1 ms/frame
+# (82.7 -> 95.8 Mrays/s), bit-identical accumulator checksum. QUAD (300.9)
+# and OCT (423.3) LOSE badly: past GROUP=2 the extra untested-triangle MXU
+# rows + wider winner reduce outgrow the saved per-issue overhead.
+PASS_PAIR = True
 # Quad-pass traversal: same idea at GROUP=4 — each fire tests FOUR admitted
 # clusters in one fused pass (one 12K-row edge dot, one 4K-row plane dot,
 # one 512-wide attribute dot), quartering the fixed per-issue overhead per
