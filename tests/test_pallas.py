@@ -294,6 +294,8 @@ def test_probe_and_mode_flags_ship_safe():
     assert pt.PASS_PAIR is True
     assert pt.PASS_QUAD is False
     assert pt.PASS_OCT is False
+    # PAIR_PIPE measured a loss (173.7 vs 167.4 ms, bit-identical) — OFF.
+    assert pt.PAIR_PIPE is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
     # split3 exact attributes, distance-ordered traversal, octant binning.
@@ -382,8 +384,16 @@ def test_traversal_modes_match_brute(trav, page_axes):
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
+def _set_group_flag(pt, monkeypatch, flag):
+    """Enable a group-pass flag; PAIR_PIPE layers on PASS_PAIR."""
+    if flag == "PAIR_PIPE":
+        monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, flag, True)
+
+
 @pytest.mark.parametrize("flag,chan_mode", [
     ("PASS_PAIR", "split3"), ("PASS_PAIR", "bf16s3"),
+    ("PAIR_PIPE", "split3"), ("PAIR_PIPE", "bf16s3"),
     ("PASS_QUAD", "split3"), ("PASS_QUAD", "bf16s3"),
     ("PASS_OCT", "split3"),
 ])
@@ -395,20 +405,20 @@ def test_group_pass_matches_brute(flag, chan_mode, monkeypatch):
     # virtual lanes (8/9 lane key bits) — the resolved hits must match the
     # oracle exactly like single passes.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, flag, True)
+    _set_group_flag(pt, monkeypatch, flag)
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, chan_mode=chan_mode)
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
 
 
-@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PAIR_PIPE", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_cross_word_carry(flag, monkeypatch):
     # >32 admitted clusters per tile forces the unpaired leftover to cross
     # 32-bit bitmask WORD boundaries (the pend carry in _for_set_bits_pair /
     # page_pass): a cluster from word w pairs with one from word w+1. The
     # tight ray bundle through the mesh stack admits many clusters at once.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, flag, True)
+    _set_group_flag(pt, monkeypatch, flag)
     b = SceneBuilder()
     v, f, n = P.icosphere(2)
     for i in range(9):
@@ -431,7 +441,7 @@ def test_group_pass_cross_word_carry(flag, monkeypatch):
     _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
 
 
-@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PAIR_PIPE", "PASS_QUAD", "PASS_OCT"])
 def test_megakernel_group_pass_identity(flag, monkeypatch):
     # The bench path (full-path megakernel) shares _trace_block: a group
     # pass picks the SAME unique-key winner the sequential passes converge
@@ -446,12 +456,12 @@ def test_megakernel_group_pass_identity(flag, monkeypatch):
                        tracer="pallas")
     key = jax.random.key(9)
     img0 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
-    monkeypatch.setattr(pt, flag, True)
+    _set_group_flag(pt, monkeypatch, flag)
     img1 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
     np.testing.assert_array_equal(img0, img1)
 
 
-@pytest.mark.parametrize("flag", ["PASS_PAIR", "PASS_QUAD", "PASS_OCT"])
+@pytest.mark.parametrize("flag", ["PASS_PAIR", "PAIR_PIPE", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_multi_page(flag, monkeypatch):
     # (~25 s/case interpreted — unlike defer mode, group passes add no
     # per-page unrolled resolve code, so the multi-page compile stays fast.)
@@ -459,7 +469,7 @@ def test_group_pass_multi_page(flag, monkeypatch):
     # the first admitted cluster of page g+1, so fused_dotsN's global
     # epluck/chan row offsets must resolve across page boundaries.
     from unityraytracer_tpu.ops import pallas_trace as pt
-    monkeypatch.setattr(pt, flag, True)
+    _set_group_flag(pt, monkeypatch, flag)
     b = SceneBuilder()
     v, f, n = P.icosphere(3)
     rng = np.random.default_rng(1)

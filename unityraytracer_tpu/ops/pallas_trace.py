@@ -73,9 +73,13 @@ import os as _os
 # while the admitted-cluster set per tile grows with the union of its rays'
 # frustums — wider tiles win while rays are coherent enough that the union
 # factor stays under the width ratio. Measured on the 1080p/100k/8b bench
-# (v5e, megakernel): 128 -> 210.5 ms, 256 -> 201.5 ms, 512 -> 223.5 ms;
-# 256 ships. Env override is an A/B probe hook only.
-TILE = int(_os.environ.get("URT_TILE", "256"))
+# (v5e, megakernel): single passes 128 -> 210.5 ms, 256 -> 201.5, 512 ->
+# 223.5 (256 won); under PASS_PAIR the optimum moves back DOWN — 128 ->
+# 163.7 ms, 256 -> 167.4, 512 -> 206.7 (bit-identical images) — because
+# pairing halves the per-pass fixed cost that wide tiles amortize, while
+# narrow tiles keep the per-pass triangle work tighter. 128 ships. Env
+# override is an A/B probe hook only.
+TILE = int(_os.environ.get("URT_TILE", "128"))
 BLOCK = 1024         # rays per grid step (fixed: megakernel state layout)
 ROWS = BLOCK // TILE  # ray tiles per grid step
 assert TILE % 128 == 0 and BLOCK % TILE == 0
@@ -230,6 +234,31 @@ CLOSER_GATE = False
 # and OCT (423.3) LOSE badly: past GROUP=2 the extra untested-triangle MXU
 # rows + wider winner reduce outgrow the saved per-issue overhead.
 PASS_PAIR = True
+# Pipelined pair epilogue: each fired pair pass stores its winners' exact
+# t/u/v (the reduces the no_chan bisect measured ~free) plus the winner
+# LANE+1 in ROW_GID, and its ATTRIBUTE dot runs one fired pass later —
+# pick + chan-slice are rebuilt at the NEXT pass's TOP from the GID row
+# and the carried pending cluster ids (operands depend on nothing this
+# pass computes, the const_pick dependency shape), while the channel
+# WRITES land at that pass's BOTTOM, after its winner reduces, giving the
+# MXU the whole pass to finish (the "lag" mode consumed its lagged dot
+# immediately after issue — cluster_pass_lag:1600-1602 — which is why it
+# measured neutral; the 109-110 ms no_dot == static_chan == const_pick
+# probe triple localizes the remaining ~63 ms/frame to exactly this
+# consume-position stall). Chan writes are sequence- and value-identical
+# to the immediate epilogue, so images are bit-identical.
+# MEASURED A LOSS on v5e (bench scene): 173.7 vs 167.4 ms base /
+# 171.7 vs 163.7 at TILE=128, bit-identical checksums — decoupling the
+# pick/slice operands does NOT remove the stall inside the visitation
+# while_loop (consistent with "lag"), and the (2K, TILE) pick rebuild +
+# extra row writes add ~6 ms. Ships OFF; kept as the documented probe of
+# the consume-position hypothesis.
+PAIR_PIPE = False
+# Slice the pair pass's attribute operand at the TOP of the pass (before
+# the geometry dots) instead of inside the gated epilogue: the dynamic
+# VMEM slice copy then overlaps the geometry/winner chain. Costs the
+# slice on no-hit passes (their epilogue gate no longer skips it).
+HOIST_CHAN = False
 # Quad-pass traversal: same idea at GROUP=4 — each fire tests FOUR admitted
 # clusters in one fused pass (one 12K-row edge dot, one 4K-row plane dot,
 # one 512-wide attribute dot), quartering the fixed per-issue overhead per
@@ -443,6 +472,48 @@ def _for_set_bits_pair(word, idx_of, fire2, pend):
         return new_w, new_p
 
     return jax.lax.while_loop(cond, body, (word, pend))[1]
+
+
+def _for_set_bits_pair_pipe(word, idx_of, fire4, pend3):
+    """``_for_set_bits_pair`` with the pipelined epilogue's pending-pass
+    cluster ids threaded through the carry: ``fire4(a, b, pc0, pc1)``
+    resolves the pending pair (pc0, pc1) and processes (a, b), which then
+    becomes the new pending pair. ``pend3 = (pend, pc0, pc1)`` with pc0 =
+    -1 meaning nothing pending; it carries across words/pages like the
+    unpaired-leftover ``pend`` does."""
+    def ctz(v):
+        return jnp.round(jnp.log2(jnp.abs(
+            v.astype(jnp.float32)))).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, p, pc0, pc1 = c
+        low0 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        c0 = idx_of(ctz(low0))
+        w_a = jnp.bitwise_xor(w, low0)
+        have_p = p >= 0
+        low1 = jnp.bitwise_and(w_a, jnp.int32(0) - w_a)
+        has1 = w_a != 0
+        c1 = idx_of(ctz(jnp.where(has1, low1, jnp.int32(1))))
+        a = jnp.where(have_p, p, c0)
+        b = jnp.where(have_p, c0, c1)
+        fire = have_p | has1
+
+        @pl.when(fire)
+        def _():
+            fire4(a, b, pc0, pc1)
+
+        new_p = jnp.where(fire, jnp.int32(-1), c0)
+        new_w = jnp.where(have_p, w_a,
+                          jnp.bitwise_xor(
+                              w_a, jnp.where(has1, low1, jnp.int32(0))))
+        return (new_w, new_p, jnp.where(fire, a, pc0),
+                jnp.where(fire, b, pc1))
+
+    out = jax.lax.while_loop(cond, body, (word,) + tuple(pend3))
+    return out[1:]
 
 
 def _for_set_bits_group(word, idx_of, fire, pend, nslots):
@@ -847,6 +918,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     group_n = ((8 if PASS_OCT else 4 if PASS_QUAD else 0)
                if _groupable else 0)
     pair = PASS_PAIR and _groupable and not group_n
+    # Pipelined pair epilogue: probes that replace the attribute dot or
+    # reorder writes bisect the IMMEDIATE epilogue, so they force pipe off.
+    pipe2 = PAIR_PIPE and pair and EPILOGUE_MODE == "full"
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -1178,18 +1252,26 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 # masked no-op.
                 return jnp.where(any_ok, c, jnp.int32(-1))
 
-        def cluster_passN(cs):
+        def cluster_passN(cs, pipe_store=False):
             """One GROUP pass: N clusters' geometry in one fused dot pair,
             one shared winner select, one attribute dot over the
             concatenated N*K-triangle block. All ids in ``cs`` are distinct
             (each cluster is visited once; the greedy grouper never
-            self-pairs)."""
+            self-pairs). With ``pipe_store`` the attribute dot is left to
+            the NEXT fired pass (PAIR_PIPE): the gated epilogue writes the
+            exact t/u/v reduces plus winner lane+1 into ROW_GID instead."""
             N = len(cs)
             if COUNT_PASSES:
                 S[ROW_ADM:ROW_ADM + 1, ls] = \
                     S[ROW_ADM:ROW_ADM + 1, ls] + float(N)
                 S[ROW_CNT:ROW_CNT + 1, ls] = \
                     S[ROW_CNT:ROW_CNT + 1, ls] + float(N)
+            blk_h = None
+            if HOIST_CHAN and not pipe_store:
+                RPC_h = 3 * NCHAN
+                blk_h = jnp.concatenate(
+                    [chan_ref[pl.ds(pl.multiple_of(c * RPC_h, 8), RPC_h), :]
+                     for c in cs], axis=1)               # (RPC, NK)
             e_all, tnd = fused_dotsN(cs)
             K = KSIZE
             bt = best_t()
@@ -1262,8 +1344,25 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     u_sel = ru if u_sel is None else u_sel + ru
                     v_sel = rv if v_sel is None else v_sel + rv
 
+                if pipe_store:
+                    # Defer the attribute dot: record the exact winner
+                    # rows + the winner's group lane (1-based; 0 = this
+                    # pass won nothing for the ray, left by the caller's
+                    # re-arm). The next fired pass (or the tile drain)
+                    # rebuilds the one-hot pick from these.
+                    lane_w = jnp.bitwise_and(win_key, LMN).astype(
+                        jnp.float32)
+                    S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
+                    S[ROW_U:ROW_U + 1, ls] = jnp.where(
+                        closer, u_sel, S[ROW_U:ROW_U + 1, ls])
+                    S[ROW_V:ROW_V + 1, ls] = jnp.where(
+                        closer, v_sel, S[ROW_V:ROW_V + 1, ls])
+                    S[ROW_GID:ROW_GID + 1, ls] = jnp.where(
+                        closer, lane_w + 1.0, S[ROW_GID:ROW_GID + 1, ls])
+                    return
+
                 RPC = 3 * NCHAN
-                blk = jnp.concatenate(
+                blk = blk_h if blk_h is not None else jnp.concatenate(
                     [chan_ref[pl.ds(pl.multiple_of(c * RPC, 8), RPC), :]
                      for c in cs], axis=1)                # (RPC, NK)
                 pick = jnp.concatenate(picks, axis=0).astype(
@@ -1285,6 +1384,58 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
         def cluster_pass_group(*cs):
             cluster_passN(list(cs))
+
+        def _pair_select2(pc0, pc1):
+            """Pending PAIR pass attribute dot (PAIR_PIPE). Rebuilds the
+            one-hot pick over the pair's 2K virtual lanes from ROW_GID
+            (winner lane+1, 0 = not won by the pending pass) and the two
+            carried cluster ids — nothing here depends on the current
+            pass's compute, so the dot issues immediately. Also captures
+            the pending u/v rows before the current pass overwrites them.
+            Returns (sel, valid, u_p, v_p)."""
+            RPC = 3 * NCHAN
+            g_row = S[ROW_GID:ROW_GID + 1, ls]
+            u_p = S[ROW_U:ROW_U + 1, ls]
+            v_p = S[ROW_V:ROW_V + 1, ls]
+            valid = (g_row > 0.5) & (pc0 >= 0)
+            lane = g_row.astype(jnp.int32) - 1
+            sub2 = jax.lax.broadcasted_iota(
+                jnp.int32, (2 * KSIZE, TILE), 0)
+            pick = ((sub2 == lane) & valid)
+            c0s = jnp.maximum(pc0, 0)
+            c1s = jnp.maximum(pc1, 0)
+            blk = jnp.concatenate(
+                [chan_ref[pl.ds(pl.multiple_of(c0s * RPC, 8), RPC), :],
+                 chan_ref[pl.ds(pl.multiple_of(c1s * RPC, 8), RPC), :]],
+                axis=1)                                  # (RPC, 2K)
+            p_op = pick.astype(jnp.bfloat16 if blk.dtype == jnp.bfloat16
+                               else jnp.float32)
+            sel3 = jax.lax.dot_general(
+                blk, p_op, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                   + sel3[2 * NCHAN:3 * NCHAN, :])
+            return sel, valid, u_p, v_p
+
+        def cluster_pass2_pipe(a, b, pc0, pc1):
+            """Pair pass with the PIPELINED epilogue: issue the PENDING
+            pair's attribute dot first (operands from rows stored last
+            pass), re-arm ROW_GID, run this pass's geometry + winner
+            reduces (its t/u/v land in-pass, keeping best-t exact), and
+            only then consume the dot for the pending channel writes —
+            the MXU gets the whole pass to finish, so the VPU never
+            stalls on it. Write order and values match the immediate
+            epilogue exactly (bit-identical images)."""
+            sel_p, valid_p, u_p, v_p = _pair_select2(pc0, pc1)
+            S[ROW_GID:ROW_GID + 1, ls] = jnp.zeros((1, TILE), jnp.float32)
+            cluster_passN([a, b], pipe_store=True)
+            _chan_writeback(sel_p, u_p, u_p, v_p, valid_p, write_t=False)
+
+        def _pipe_flush(pc0, pc1):
+            """Tile-end drain of the last pending pair pass."""
+            sel_p, valid_p, u_p, v_p = _pair_select2(pc0, pc1)
+            _chan_writeback(sel_p, u_p, u_p, v_p, valid_p, write_t=False)
+            S[ROW_GID:ROW_GID + 1, ls] = jnp.zeros((1, TILE), jnp.float32)
 
         def _attr_epilogue(c, e01, e12, e20, t, key, win_key, mask):
             """Attribute matmul + exact t/u/v reduces + channel writes for
@@ -1770,6 +1921,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     pend = _for_set_bits_group(word, idx_of,
                                                cluster_pass_group, pend,
                                                group_n)
+                elif pipe2:
+                    pend = _for_set_bits_pair_pipe(
+                        word, idx_of, cluster_pass2_pipe, pend)
                 elif pair:
                     pend = _for_set_bits_pair(word, idx_of, cluster_pass2,
                                               pend)
@@ -1821,6 +1975,26 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             @pl.when(n % 2 == 1)
             def _():
                 cluster_pass(odd)
+            return
+        if pipe2:
+            pend = (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1))
+            for w in range(len(pgw_a)):
+                word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
+                pend = _for_set_bits_carry(
+                    word,
+                    lambda dg, p, w=w: page_pass(
+                        jnp.where(desc_global, PW - 1 - (w * 32 + dg),
+                                  w * 32 + dg), p),
+                    pend)
+            p, pc0, pc1 = pend
+            # Flush the last pending pair FIRST so the unpaired single's
+            # best-t compare (and its immediate epilogue) see exactly the
+            # state the non-pipelined order would have produced.
+            _pipe_flush(pc0, pc1)
+
+            @pl.when(p >= 0)
+            def _():
+                cluster_pass(p)        # drain the unpaired leftover
             return
         if pair:
             pend = jnp.int32(-1)
