@@ -57,7 +57,8 @@ ABLATE = frozenset()
 
 
 def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
-                 bbox, geom, order_ax, trav, bin_scheme, chan_mode, page_axes,
+                 bbox, geom, n_sph, order_ax, trav, bin_scheme, chan_mode,
+                 page_axes,
                  rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                  alive0_ref, e0x_ref, e0y_ref, e0z_ref, uni_ref,
                  scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -166,7 +167,8 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
         else:
             _ground_sphere_init(A, S, a_alive,
                                 scx_ref[:], scy_ref[:], scz_ref[:], sr_ref[:],
-                                sattr_ref[:], gmisc_ref[:])
+                                sattr_ref[:], gmisc_ref[:],
+                                n_spheres=n_sph)
         if "notrace" not in ABLATE:
             pt._trace_block(
                 geom, n_pages, order_ax, A, S,
@@ -382,8 +384,8 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         lo = hi = None
     kernel = functools.partial(
         _path_kernel, pa.n_pages, bounces, b0, emit_state, lo, hi,
-        cfg.russian_roulette, pa.bbox, pa.geom, pa.order_ax, pa.trav,
-        pa.bin_scheme, pa.chan_mode, pa.page_axes)
+        cfg.russian_roulette, pa.bbox, pa.geom, pa.n_spheres, pa.order_ax,
+        pa.trav, pa.bin_scheme, pa.chan_mode, pa.page_axes)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]

@@ -775,7 +775,8 @@ def _perm_matrix(d):
 
 
 def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
-                  order_ax, trav, bin_scheme, chan_mode, page_axes,
+                  n_sph: int, order_ax, trav, bin_scheme, chan_mode,
+                  page_axes,
                   rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
                   seed_ref,
                   scx_ref, scy_ref, scz_ref, sr_ref, sattr_ref, gmisc_ref,
@@ -847,7 +848,7 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
         # per-bounce XLA candidate/combine stages disappear entirely.
         _ground_sphere_init(A, S, A[6:7, :],
                             scx_ref[:], scy_ref[:], scz_ref[:], sr_ref[:],
-                            sattr_ref[:], gmisc_ref[:])
+                            sattr_ref[:], gmisc_ref[:], n_spheres=n_sph)
     else:
         S[:] = jnp.concatenate(
             [A[6:7, :], jnp.zeros((SROWS - 1, BLOCK), jnp.float32)],
@@ -2043,12 +2044,21 @@ def _rows3(ref_or_val, r0):
             ref_or_val[r0 + 2:r0 + 3, :])
 
 
-def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
+def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc,
+                        n_spheres: int = -1):
     """Seed S with the nearest ground/sphere candidate (aligned SROWS rows).
 
     A: (8, B) ray matrix (possibly permuted). Dead rays get best-t 0 so every
     later culling test fails. Triangle passes then only overwrite rows where
     they beat this seed — the kernel's final S rows ARE the merged hit.
+
+    ``n_spheres``: static scene sphere count when known. 0 statically elides
+    the whole sphere stage (quadratic + winner reduce + attribute matmul) —
+    bit-identical to the full path for sphere-less scenes, where every
+    padded-sphere candidate resolves to a miss anyway. Measured on the
+    sphere-free 1080p/100k/8b bench: the elided stage was costing a large
+    fraction of the frame purely in (8, B)-block VPU latency per
+    (step, bounce) cell. -1 (unknown) keeps the full path.
     """
     B = A.shape[1]
     ro = _rows3(A, 0)
@@ -2063,6 +2073,23 @@ def _ground_sphere_init(A, S, alive_row, scx, scy, scz, sr, sattr, gmisc):
     safe_dy = jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
     tg = -ro[1] / safe_dy
     tg = jnp.where((tg > 0) & (gmisc[0:1, :] > 0), tg, _F32_MAX)
+
+    if n_spheres == 0:
+        hit_g = tg < _F32_MAX * 0.5
+        n_g = jnp.concatenate([zero, one, zero], axis=0)     # (3, B)
+
+        def pickg(g_blk):
+            return jnp.where(hit_g, g_blk, 0.0)
+
+        S[ROW_N:ROW_N + 3, :] = pickg(n_g)
+        S[ROW_ALB:ROW_ALB + 3, :] = pickg(gmisc[1:4, :])
+        S[ROW_SPC:ROW_SPC + 3, :] = pickg(gmisc[4:7, :])
+        S[ROW_EMI:ROW_EMI + 3, :] = pickg(gmisc[7:10, :])
+        S[ROW_SMO:ROW_SMO + 1, :] = pickg(gmisc[10:11, :])
+        S[0:1, :] = jnp.where(alive_row > 0,
+                              jnp.minimum(tg, _F32_MAX), 0.0)
+        S[ROW_CNT:ROW_CNT + 6, :] = jnp.zeros((6, B), jnp.float32)
+        return
 
     # Spheres: (Sp, B) broadcast quadratic (compute:175-196) — (Sp, 1)
     # sphere columns against (1, B) ray rows.
@@ -2175,6 +2202,9 @@ class PallasAccel:
     # [enabled, albedo3, specular3, emission3, smoothness]. None when the
     # accel was prepared without a scene.
     gs: Optional[Tuple[jnp.ndarray, ...]] = None
+    # Static scene sphere count (-1 = unknown): 0 statically elides the
+    # in-kernel sphere stage (see _ground_sphere_init).
+    n_spheres: int = struct.field(pytree_node=False, default=-1)
 
 
 def _split_rows(blocks: np.ndarray, n_terms: int,
@@ -2521,13 +2551,15 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
 
     # Host numpy leaves; callers device_put the pytree once per scene build.
     gs = _prepare_ground_spheres(scene) if scene is not None else None
+    n_spheres = int(scene.spheres.count) if (scene is not None
+                                             and gs is not None) else -1
     return PallasAccel(pgb=pgb, pgaxd=pgaxd, cl_cols=cl_cols,
                        cb_rows=cb_rows,
                        epluck=epluck, eplane=eplane, chan=chan,
                        n_pages=G, bbox=bbox, geom=geom, chan_mode=chan_mode,
                        trav=trav, bin_scheme=bin_scheme,
                        page_axes=page_axes, gs=gs,
-                       order_ax=order_ax)
+                       order_ax=order_ax, n_spheres=n_spheres)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
@@ -2578,8 +2610,9 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
                  for _ in range(N_OUTS)]
 
     kernel = functools.partial(_trace_kernel, n_pages, bin_rays, pa.bbox,
-                               pa.geom, merged, pa.order_ax, pa.trav,
-                               pa.bin_scheme, pa.chan_mode, pa.page_axes)
+                               pa.geom, merged, pa.n_spheres, pa.order_ax,
+                               pa.trav, pa.bin_scheme, pa.chan_mode,
+                               pa.page_axes)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
