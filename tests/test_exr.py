@@ -212,10 +212,10 @@ def test_exr_rejects_unknown_compression(tmp_path):
     idx = raw.index(b"compression\x00compression\x00")
     # Attribute payload byte follows name, type, and int32 size.
     off = idx + len(b"compression\x00compression\x00") + 4
-    raw[off] = 8  # DWAA (everything through B44A is supported now)
+    raw[off] = 10  # beyond DWAB: the whole v2 scanline set is supported now
     bad = str(tmp_path / "px_bad.exr")
     open(bad, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="DWAA"):
+    with pytest.raises(ValueError, match="10"):
         load_exr(bad)
 
 
@@ -260,3 +260,62 @@ def test_load_environment_dispatches_hdr_and_exr(tmp_path):
     # max_channel/128 for EVERY channel of that texel.
     step = img.max(-1, keepdims=True) / 128.0
     assert (np.abs(out - img) <= step + 1e-4).all()
+
+
+# ---------------------------------------------------------------------------
+# DWAA/DWAB (lossy DCT, models/dwa.py) — hermetic self tests; the
+# authoritative cross-checks live in test_exr_oracle.py.
+
+def test_exr_dwa_roundtrip_close(tmp_path):
+    # Our encoder quantizes nothing, so round-trip error is only the
+    # nonlinear-LUT half round-trip plus half rounding of DCT coefficients.
+    img = _img(h=37, w=53, seed=3) * 3.0
+    for comp in ("dwaa", "dwab"):
+        p = str(tmp_path / f"d_{comp}.exr")
+        write_exr(p, img, compression=comp, dtype="half")
+        out = load_exr(p)[..., :3]
+        ref = img.astype(np.float16).astype(np.float32)
+        assert np.abs(out - ref).max() <= 0.02 * max(1.0, float(ref.max()))
+
+
+def test_exr_dwa_alpha_rle_lossless(tmp_path):
+    # Non-RGB half channels ride the DWA RLE scheme: byte planes +
+    # PackBits, bit-exact.
+    img = _img(h=16, w=24, c=4, seed=4)
+    img[..., 3] = np.linspace(0, 1, 16 * 24).reshape(16, 24)
+    p = str(tmp_path / "a.exr")
+    write_exr(p, img, compression="dwaa", dtype="half")
+    out = load_exr(p)
+    np.testing.assert_array_equal(
+        out[..., 3], img[..., 3].astype(np.float16).astype(np.float32))
+
+
+def test_exr_dwa_float_channels_unknown_lossless(tmp_path):
+    # FLOAT channels match no half rule -> the zlib'd unknown blob,
+    # bit-exact round-trip.
+    img = _img(h=19, w=21, seed=5)
+    p = str(tmp_path / "f.exr")
+    write_exr(p, img, compression="dwaa", dtype="float")
+    np.testing.assert_array_equal(load_exr(p), img)
+
+
+def test_exr_dwab_multi_chunk(tmp_path):
+    # DWAB chunks are 256 scanlines: 600 rows -> 3 chunks with a ragged
+    # tail; seams must be invisible to the block/chunk arithmetic.
+    img = _img(h=600, w=16, seed=6)
+    p = str(tmp_path / "b.exr")
+    write_exr(p, img, compression="dwab", dtype="half")
+    out = load_exr(p)[..., :3]
+    ref = img.astype(np.float16).astype(np.float32)
+    assert np.abs(out - ref).max() <= 0.02
+
+
+def test_exr_dwa_tiny_raw_fallback(tmp_path):
+    # An 8x8 half RGB chunk's DWA payload exceeds its raw size, so the
+    # writer stores raw bytes (EXR fallback) and the reader must detect
+    # that by size — the probe trap that bit the real library's files too.
+    img = _img(h=8, w=8, seed=7)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, compression="dwaa", dtype="half")
+    np.testing.assert_array_equal(
+        load_exr(p), img.astype(np.float16).astype(np.float32))

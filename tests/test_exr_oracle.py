@@ -70,3 +70,38 @@ def test_real_tiled_our_reader(tmp_path, img, comp):
     ref = oracle.read_rgba(p)
     ours = load_exr(p)
     np.testing.assert_array_equal(ours, ref)
+
+
+DWA = ["dwaa", "dwab"]
+
+
+@pytest.mark.parametrize("comp", DWA)
+def test_real_writer_our_reader_dwa(tmp_path, img, comp):
+    # Lossy DCT: both decoders consume the SAME bits; the only slack is
+    # float op order inside IDCT/CSC. Measured: libOpenEXR's float32 DCT
+    # deviates from the float64-true value by up to ~4 half-ulps on this
+    # content, ours by less — so decoders agree to a few ulps, mostly
+    # bit-exact.
+    p = str(tmp_path / f"real_{comp}.exr")
+    oracle.write_rgba(p, img, comp)
+    ref = oracle.read_rgba(p)
+    ours = load_exr(p)
+    assert ours.shape == ref.shape
+    ulp = np.abs(ours.astype(np.float16).view(np.uint16).astype(np.int32)
+                 - ref.astype(np.float16).view(np.uint16).astype(np.int32))
+    assert (ulp == 0).mean() > 0.98
+    assert ulp.max() <= 8
+    # The RLE-coded alpha plane is integer plumbing only: bit-exact.
+    np.testing.assert_array_equal(ours[..., 3], ref[..., 3])
+
+
+@pytest.mark.parametrize("comp", DWA)
+def test_our_writer_real_reader_dwa(tmp_path, img, comp):
+    # Our encoder must produce files the AUTHORITATIVE decoder accepts.
+    # It quantizes nothing, so the real decoder's output stays within the
+    # nonlinear-LUT + half-DCT rounding budget of the source.
+    p = str(tmp_path / f"ours_{comp}.exr")
+    write_exr(p, img, compression=comp)
+    back = oracle.read_rgba(p)[..., :3]
+    ref = img.astype(np.float16).astype(np.float32)
+    assert np.abs(back - ref).max() <= 0.02 * max(1.0, float(ref.max()))

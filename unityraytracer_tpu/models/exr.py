@@ -11,8 +11,8 @@ the Huffman hot loop has a native C++ fast path), plus PXR24 (per-scanline
 byte-planed deltas + deflate; lossless for HALF/UINT, floats rounded to 24
 bits by the WRITER per spec — decoding is always exact) and B44 / B44A
 (fixed-rate 4x4 half blocks, models/b44.py). That is the complete OpenEXR
-v2 scanline compression set except DWAA/DWAB (JPEG-like DCT), which are
-rejected with a clear error; re-export as ZIP is the documented path.
+v2 scanline compression set INCLUDING DWAA/DWAB (lossy DCT, models/dwa.py)
+— nothing in the scanline set is rejected anymore.
 
 Implemented from the OpenEXR file-layout specification; no external deps
 (zlib only). The writer exists so round-trip tests don't need binary
@@ -36,10 +36,13 @@ _COMPRESSION_PIZ = 4
 _COMPRESSION_PXR24 = 5
 _COMPRESSION_B44 = 6
 _COMPRESSION_B44A = 7
+_COMPRESSION_DWAA = 8
+_COMPRESSION_DWAB = 9
 _LINES_PER_CHUNK = {_COMPRESSION_NONE: 1, _COMPRESSION_RLE: 1,
                     _COMPRESSION_ZIPS: 1, _COMPRESSION_ZIP: 16,
                     _COMPRESSION_PIZ: 32, _COMPRESSION_PXR24: 16,
-                    _COMPRESSION_B44: 32, _COMPRESSION_B44A: 32}
+                    _COMPRESSION_B44: 32, _COMPRESSION_B44A: 32,
+                    _COMPRESSION_DWAA: 32, _COMPRESSION_DWAB: 256}
 _PIXEL_DTYPES = {0: np.dtype("<u4"), 1: np.dtype("<f2"), 2: np.dtype("<f4")}
 _PIXEL_TYPES = {np.dtype("<u4"): 0, np.dtype("<f2"): 1, np.dtype("<f4"): 2}
 
@@ -209,6 +212,9 @@ def _decode_chunk(comp: int, payload: bytes, chans, w: int,
         from .b44 import b44_decompress
         return b44_decompress(payload, chans, w, n_lines,
                               fixed14=comp == _COMPRESSION_B44)
+    if comp in (_COMPRESSION_DWAA, _COMPRESSION_DWAB):
+        from .dwa import dwa_decompress
+        return dwa_decompress(payload, chans, w, n_lines)
     return payload                                     # NONE
 
 
@@ -437,6 +443,10 @@ def _encode_chunk(comp: int, block: np.ndarray, order, names, dt) -> bytes:
         from .b44 import b44_compress
         packed = b44_compress(raw, [(names[i], dt) for i in order],
                               w, n_lines, flat3=comp == _COMPRESSION_B44A)
+    elif comp in (_COMPRESSION_DWAA, _COMPRESSION_DWAB):
+        from .dwa import dwa_compress
+        packed = dwa_compress(raw, [(names[i], dt) for i in order],
+                              w, n_lines, dwab=comp == _COMPRESSION_DWAB)
     else:
         packed = raw
     return raw if len(packed) >= len(raw) else packed
@@ -454,7 +464,8 @@ def write_exr(path: str, img: np.ndarray, compression: str = "zip",
     comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
             "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
             "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
-            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A,
+            "dwaa": _COMPRESSION_DWAA, "dwab": _COMPRESSION_DWAB}[compression]
 
     names = ["R", "G", "B", "A"][:C]
     order = sorted(range(C), key=lambda i: names[i])
@@ -515,7 +526,8 @@ def write_exr_multipart(path: str, parts, compression: str = "zip",
     comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
             "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
             "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
-            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A,
+            "dwaa": _COMPRESSION_DWAA, "dwab": _COMPRESSION_DWAB}[compression]
     lines_per = _LINES_PER_CHUNK[comp]
 
     def attr(name: str, atype: str, payload: bytes) -> bytes:
@@ -593,7 +605,8 @@ def write_exr_tiled(path: str, img: np.ndarray, tile=(64, 64),
     comp = {"none": _COMPRESSION_NONE, "rle": _COMPRESSION_RLE,
             "zips": _COMPRESSION_ZIPS, "zip": _COMPRESSION_ZIP,
             "piz": _COMPRESSION_PIZ, "pxr24": _COMPRESSION_PXR24,
-            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A}[compression]
+            "b44": _COMPRESSION_B44, "b44a": _COMPRESSION_B44A,
+            "dwaa": _COMPRESSION_DWAA, "dwab": _COMPRESSION_DWAB}[compression]
     xs, ys = tile
     lmode = {"one": 0, "mip": 1}[level_mode]
 
