@@ -296,6 +296,8 @@ def test_probe_and_mode_flags_ship_safe():
     assert pt.PASS_OCT is False
     # PAIR_PIPE measured a loss (173.7 vs 167.4 ms, bit-identical) — OFF.
     assert pt.PAIR_PIPE is False
+    # FUSE_GEOM1 measured a loss (185.6 vs 163.0, bit-identical) — OFF.
+    assert pt.FUSE_GEOM1 is False
     assert pp.ABLATE == frozenset()
     # Shipping defaults (bench-validated): exact fused-split geometry,
     # split3 exact attributes, distance-ordered traversal, octant binning.
@@ -577,3 +579,51 @@ def test_bounce_split_overflow_stays_finite():
     key = jax.random.key(11)
     img = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
     assert np.isfinite(img).all() and (img >= 0).all()
+
+
+def test_vmem_oversize_falls_back_to_cluster(monkeypatch):
+    # Scenes whose packed accel blocks exceed the scoped-VMEM ceiling must
+    # degrade to the HBM-resident cluster tracer (same tracer="pallas"
+    # config), not die in the Mosaic compiler. Shrink the ceiling so the
+    # small test scene trips the exact post-packing check.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    from unityraytracer_tpu.ops.bvh import build_accel
+    from unityraytracer_tpu.ops.bvh import ClusterAccel
+    from unityraytracer_tpu.render import get_tracer
+    from unityraytracer_tpu import RenderConfig
+
+    monkeypatch.setattr(pt, "VMEM_CEILING_MB", pt.VMEM_STACK_MB + 0.001)
+    cfg = RenderConfig(width=8, height=8, tracer="pallas", cluster_size=32)
+    with pytest.raises(pt.PallasVmemError):
+        pt.prepare_pallas_accel(ACCEL, SCENE.materials)
+    accel = build_accel(SCENE, cfg)
+    assert isinstance(accel, ClusterAccel)          # fell back at build
+    tracer = get_tracer(SCENE, cfg, accel)          # and at tracer build
+    ro, rd = _rays(64, seed=3)
+    hc = tracer(ro, rd)                             # cluster path serves it
+    hb = trace_brute(SCENE, ro, rd)
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hc.t),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_scoped_vmem_limit_auto_raises(monkeypatch):
+    # The compile limit follows the accel's real padded footprint: default
+    # budget normally, raised (clamped to the ceiling) when blocks need it.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
+    assert pt.scoped_vmem_limit(pa) == pt.VMEM_LIMIT_MB * 2**20
+    monkeypatch.setattr(pt, "VMEM_LIMIT_MB", 1)
+    blocks = pt._padded_mb([pa.epluck, pa.eplane, pa.chan, *pa.cb_rows,
+                            *pa.cl_cols, *pa.pgb, pa.pgaxd])
+    want = min(pt.VMEM_CEILING_MB, max(1, blocks + pt.VMEM_STACK_MB))
+    assert pt.scoped_vmem_limit(pa) == int(want * 2**20)
+
+
+def test_fuse_geom1_matches_brute(monkeypatch):
+    # Single-issue geometry probe (OFF by default, measured loss): the
+    # combined dot's slices must reproduce the two-dot results exactly.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "FUSE_GEOM1", True)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
+    ro, rd = _rays(TILE + 17, seed=21)
+    _assert_matches_brute(SCENE, pa, ro, rd)

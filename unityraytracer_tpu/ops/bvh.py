@@ -258,9 +258,16 @@ def build_accel(scene: Scene, cfg):
     if getattr(cfg, "tracer", None) == "pallas":
         # The Pallas prep re-orders triangles with its own kd median split
         # and never reads the LBVH tree — skip the radix-tree build entirely.
-        from .pallas_trace import prepare_pallas_accel
-        return prepare_pallas_accel(scene.triangles, scene.materials,
-                                    scene=scene)
+        from .pallas_trace import PallasVmemError, prepare_pallas_accel
+        try:
+            return prepare_pallas_accel(scene.triangles, scene.materials,
+                                        scene=scene)
+        except PallasVmemError as e:
+            # Scene too big for the VMEM-resident megakernel: degrade to
+            # the HBM-resident cluster tracer (make_accel_tracer routes a
+            # ClusterAccel under tracer="pallas" the same way).
+            from ..utils.logging import get_logger
+            get_logger().warn(str(e))
     return build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)
 
 

@@ -386,7 +386,8 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         _path_kernel, pa.n_pages, bounces, b0, emit_state, lo, hi,
         cfg.russian_roulette, pa.bbox, pa.geom, pa.n_spheres, pa.order_ax,
         pa.trav, pa.bin_scheme, pa.chan_mode, pa.page_axes)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=pt.scoped_vmem_limit(pa))
     out_shape = [jax.ShapeDtypeStruct((n_steps, 1, B), jnp.float32)
                  for _ in range(9)]
     out_specs = [out_spec] * 9

@@ -84,6 +84,52 @@ BLOCK = 1024         # rays per grid step (fixed: megakernel state layout)
 ROWS = BLOCK // TILE  # ray tiles per grid step
 assert TILE % 128 == 0 and BLOCK % TILE == 0
 KSIZE = 128         # triangles per kernel cluster (sublane block; 256 measured 12% slower)
+# Scoped-VMEM budget handed to Mosaic (v5e has 128 MB physical). 100 MB
+# leaves double-buffer headroom at KSIZE=128; KSIZE=64 pads the 64-lane
+# eplane/chan blocks to 128 lanes (+~49 MB) and needs ~121 MB (measured:
+# compiles and runs at 126, bit-identical images — but LOSES 26 ms/frame,
+# so 128 stays the cluster size). The pallas_call sites raise the limit
+# automatically when the accel's resident blocks need it (scoped_vmem_mb).
+VMEM_LIMIT_MB = 100
+# Hard scoped-VMEM ceiling Mosaic will accept on v5e, and the stack /
+# scratch headroom the kernels need beyond the resident accel blocks
+# (grid-stream double buffers, the (B, B) bf16 permutation scratch, Mosaic
+# temporaries — the 101k-tri bench compiles at blocks 71 MB + 29 headroom).
+VMEM_CEILING_MB = 126
+VMEM_STACK_MB = 30
+
+
+class PallasVmemError(ValueError):
+    """Scene's packed accel blocks cannot fit scoped VMEM (the megakernel
+    keeps the whole scene resident). Callers catch this to fall back to the
+    HBM-resident cluster tracer (ops/bvh.build_accel, traverse
+    .make_accel_tracer)."""
+
+
+def _padded_mb(arrs) -> float:
+    """VMEM footprint of whole-array kernel operands: the lane (last) dim
+    pads to the 128-lane tile quantum."""
+    total = 0
+    for a in arrs:
+        if a is None:
+            continue
+        lanes = -(-int(a.shape[-1]) // 128) * 128
+        rows = 1
+        for d in a.shape[:-1]:
+            rows *= int(d)
+        total += rows * lanes * np.dtype(a.dtype).itemsize
+    return total / 2 ** 20
+
+
+def scoped_vmem_limit(pa) -> int:
+    """Compile-time scoped-VMEM limit for this accel: the default budget,
+    auto-raised (up to the hardware ceiling) when the resident blocks plus
+    stack headroom need more."""
+    mb = _padded_mb([pa.epluck, pa.eplane, pa.chan, *pa.cb_rows,
+                     *pa.cl_cols, *pa.pgb, pa.pgaxd,
+                     *(pa.gs or ())])
+    need = mb + VMEM_STACK_MB
+    return int(min(VMEM_CEILING_MB, max(VMEM_LIMIT_MB, need)) * 2 ** 20)
 PAGE = 128          # clusters per page
 MAX_PAGES = 128     # single page-level block => up to 128*128*128 = 2M tris
 
@@ -254,6 +300,17 @@ PASS_PAIR = True
 # extra row writes add ~6 ms. Ships OFF; kept as the documented probe of
 # the consume-position hypothesis.
 PAIR_PIPE = False
+# Single-issue geometry: concatenate the edge and plane operands along the
+# OUTPUT lane/sublane axes so each cluster pass issues ONE MXU dot
+# ((k, 4NK) x (k, 3*TILE)) instead of two. Bit-identical results (each
+# output element contracts the same k products); trades ~2.4x the MACs for
+# one fewer ~650-cycle in-loop issue per pass.
+# MEASURED A LOSS on v5e (bench scene): 185.6 vs 163.0 ms, bit-identical
+# checksum — OUTPUT-LANE width is NOT free (the earlier "dot cost is
+# size-invariant" finding covered contraction/row growth only); the extra
+# (4NK, 2*TILE) discarded cross-term results outweigh the saved issue.
+# Ships OFF; kept as the documented probe closing the issue-fusion idea.
+FUSE_GEOM1 = False
 # Slice the pair pass's attribute operand at the TOP of the pass (before
 # the geometry dots) instead of inside the gated epilogue: the dynamic
 # VMEM slice copy then overlaps the geometry/winner chain. Costs the
@@ -976,6 +1033,11 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             B_e = fuse_ray(P8)                                   # (k, TILE)
             B_od = jnp.concatenate([fuse_ray(O4), fuse_ray(D4)],
                                    axis=1)                       # (k, 2*TILE)
+            if FUSE_GEOM1:
+                # Loop-invariant combined ray operand for the single-issue
+                # geometry dot: columns 0:TILE pair with edge rows, columns
+                # TILE:3*TILE with plane rows (cross terms are discarded).
+                B_epd = jnp.concatenate([B_e, B_od], axis=1)     # (k, 3*TILE)
 
             def fuse_tri(blk):
                 # Blocks are stored as three 8-row bf16-component groups —
@@ -991,10 +1053,21 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
             def fused_dots(c):
                 """The cluster's MXU work alone (no VPU epilogue): one
-                fused-split edge dot + one plane dot."""
+                fused-split edge dot + one plane dot (ONE combined dot
+                under FUSE_GEOM1 — identical contractions, so the values
+                are bit-identical)."""
                 eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
                 pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
                 dims = (((0,), (0,)), ((), ()))
+                if FUSE_GEOM1:
+                    A = jnp.concatenate([fuse_tri(eblk), fuse_tri(pblk)],
+                                        axis=1)                  # (k, 4K)
+                    out = jax.lax.dot_general(
+                        A, B_epd, dims,
+                        preferred_element_type=jnp.float32)      # (4K, 3T)
+                    e_all = out[0:3 * KSIZE, 0:TILE]
+                    tnd = out[3 * KSIZE:4 * KSIZE, TILE:3 * TILE]
+                    return e_all, tnd
                 e_all = jax.lax.dot_general(
                     fuse_tri(eblk), B_e, dims,
                     preferred_element_type=jnp.float32)          # (3K, rays)
@@ -1024,6 +1097,15 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     eLs.append(fuse_tri(eb))
                     pLs.append(fuse_tri(pb))
                 dims = (((0,), (0,)), ((), ()))
+                if FUSE_GEOM1:
+                    NK = len(cs) * KSIZE
+                    A = jnp.concatenate(eLs + pLs, axis=1)  # (k, 4NK)
+                    out = jax.lax.dot_general(
+                        A, B_epd, dims,
+                        preferred_element_type=jnp.float32)  # (4NK, 3*TILE)
+                    e_all = out[0:3 * NK, 0:TILE]
+                    tnd = out[3 * NK:4 * NK, TILE:3 * TILE]
+                    return e_all, tnd
                 e_all = jax.lax.dot_general(
                     jnp.concatenate(eLs, axis=1), B_e, dims,
                     preferred_element_type=jnp.float32)   # (3NK, rays)
@@ -2383,6 +2465,16 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
         raise ValueError(
             f"scene too large for single-block page culling: {G} pages "
             f"(max {MAX_PAGES}, ~2M triangles); shard the scene")
+    # Coarse VMEM short-circuit (~672 B/tri padded at the default modes):
+    # way-oversize scenes skip the packing work before the exact check
+    # below. 500k tris ~= 330 MB of blocks — far past the 126 MB ceiling
+    # in every packing mode.
+    if T > 500_000:
+        raise PallasVmemError(
+            f"{T} triangles exceed the megakernel's VMEM-resident accel "
+            f"budget (~{(VMEM_CEILING_MB - VMEM_STACK_MB)} MB of packed "
+            "blocks, ~150k triangles at defaults); falling back to the "
+            "cluster tracer keeps rendering correct")
     Tp = Cp * KSIZE
 
     def pad(a):
@@ -2553,6 +2645,14 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     gs = _prepare_ground_spheres(scene) if scene is not None else None
     n_spheres = int(scene.spheres.count) if (scene is not None
                                              and gs is not None) else -1
+    blocks_mb = _padded_mb([epluck, eplane, chan, *cb_rows, *cl_cols,
+                            *pgb, pgaxd])
+    if blocks_mb + VMEM_STACK_MB > VMEM_CEILING_MB:
+        raise PallasVmemError(
+            f"packed accel blocks need {blocks_mb:.1f} MB of scoped VMEM "
+            f"(+{VMEM_STACK_MB} MB stack) — over the {VMEM_CEILING_MB} MB "
+            f"ceiling for {T} triangles; falling back to the cluster "
+            "tracer keeps rendering correct")
     return PallasAccel(pgb=pgb, pgaxd=pgaxd, cl_cols=cl_cols,
                        cb_rows=cb_rows,
                        epluck=epluck, eplane=eplane, chan=chan,
@@ -2615,7 +2715,7 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
                                pa.page_axes)
     # The scene-resident blocks (edge Pluecker + plane + attributes) exceed
     # the 16 MB default scoped-VMEM budget for large scenes; v5e has 128 MB.
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    params = pltpu.CompilerParams(vmem_limit_bytes=scoped_vmem_limit(pa))
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),

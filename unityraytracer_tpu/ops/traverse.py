@@ -239,15 +239,22 @@ def _triangle_cluster_candidate(scene, accel: ClusterAccel, ro: Vec3, rd: Vec3,
 def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
     """Build ``fn(ro, rd) -> Hit`` for cfg.tracer in {bvh, cluster, pallas}."""
     if cfg.tracer == "pallas":
-        from .pallas_trace import make_pallas_tracer
-        return make_pallas_tracer(scene, accel, cfg)
+        from .pallas_trace import PallasVmemError, make_pallas_tracer
+        try:
+            return make_pallas_tracer(scene, accel, cfg)
+        except PallasVmemError as e:
+            # Oversize scene (or a ClusterAccel from build_accel's VMEM
+            # fallback): serve tracer="pallas" through the cluster path.
+            from ..utils.logging import get_logger
+            get_logger().warn(str(e))
     # Builders hand out host-numpy pytrees; traced indexing needs jnp leaves
     # (no-op on tracers/device arrays).
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     accel = jax.tree_util.tree_map(jnp.asarray, accel)
 
     tri_fn = {"bvh": _triangle_bvh_candidate,
-              "cluster": _triangle_cluster_candidate}[cfg.tracer]
+              "cluster": _triangle_cluster_candidate,
+              "pallas": _triangle_cluster_candidate}[cfg.tracer]
     has_tris = scene.num_triangles > 0
 
     def tracer(ro: Vec3, rd: Vec3, alive=None, bin_rays: bool = False) -> Hit:
