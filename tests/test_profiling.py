@@ -73,7 +73,8 @@ def test_parse_uses_self_time_for_nested_events(tmp_path):
     np.testing.assert_allclose(prof.total_ms, 10.0)  # span, not 17
     np.testing.assert_allclose(prof.stages_ms["trace_kernel"], 6.0)
     np.testing.assert_allclose(prof.stages_ms["fusion"], 1.0)
-    np.testing.assert_allclose(prof.stages_ms["other"], 3.0)  # parent self
+    # The jit_* umbrella's SELF time is the dispatch/gap overhead bucket.
+    np.testing.assert_allclose(prof.stages_ms["dispatch"], 3.0)
 
 
 def test_parse_falls_back_without_process_names(tmp_path):
@@ -102,7 +103,8 @@ def test_renderer_profile_smoke():
     prof = r.profile(1)
     assert prof.total_ms >= 0.0
     assert r.stats["device"] is prof
-    assert r.sample_count == 1  # profiling advanced the accumulator
+    # profile() runs one warm-up frame (outside the trace) + n_frames.
+    assert r.sample_count == 2
 
 
 def test_profile_stages_runs_real_computation():
@@ -137,4 +139,4 @@ def test_renderer_profile_integration(tmp_path):
     assert r.stats["device"] is prof
     assert prof.total_ms >= 0.0
     assert isinstance(prof.stages_ms, dict) and "other" in prof.stages_ms
-    assert r.sample_count == 2   # profiling advanced the real render state
+    assert r.sample_count == 3   # warm-up + 2 profiled frames

@@ -41,12 +41,18 @@ import numpy as np
 # (e.g. "_trace_kernel"), everything else arrives as fusion.N / custom-call.N
 # etc.
 DEFAULT_STAGES: Sequence[Tuple[str, str]] = (
-    ("trace_kernel", r"trace_kernel|pallas"),
+    # Pallas kernels arrive as closed_call.N on current plugins (the
+    # megakernel is the big one; named kernels may still say trace_kernel).
+    ("trace_kernel", r"trace_kernel|pallas|closed_call"),
+    ("env", r"env_lookup"),
     ("sort", r"sort"),
     ("rng", r"threefry|random_bits|erf_inv"),
     ("convolution_matmul", r"dot|conv"),
     ("fusion", r"^(loop_)?fusion"),
-    ("copy", r"copy|transpose|reshape|bitcast"),
+    ("copy", r"copy|transpose|reshape|bitcast|^pad"),
+    # jit_* umbrellas: after child subtraction their SELF time is the
+    # dispatch/gap overhead between device ops.
+    ("dispatch", r"^jit_"),
 )
 
 _DEVICE_NAME_RE = re.compile(r"/device:|TPU|Device|XLA_OP", re.IGNORECASE)
@@ -215,7 +221,17 @@ def profile_stages(run, logdir: Optional[str] = None,
 
     own = logdir is None
     logdir = logdir or tempfile.mkdtemp(prefix="urt_prof_")
-    jax.profiler.start_trace(logdir)
+    # Disable the Python tracer: its per-frame traceback events flood the
+    # trace buffer (~1M host events through the axon tunnel) and CROWD OUT
+    # the device timeline — with it on, pid-3 carried 13 events for a full
+    # render step; with it off, the complete kernel breakdown (measured).
+    try:
+        opts = jax.profiler.ProfileOptions()
+        opts.python_tracer_level = 0
+        kw = {"profiler_options": opts}
+    except AttributeError:            # older jax: no ProfileOptions
+        kw = {}
+    jax.profiler.start_trace(logdir, **kw)
     try:
         out = run()
         fetch_sync(out)
