@@ -101,10 +101,11 @@ def main() -> None:
 
     # Time by SCALAR fetch (synchronizes the chain like any value fetch);
     # pulling the 25 MB framebuffer through the axon debug tunnel costs
-    # ~80 ms/frame of pure measurement artifact. Best of 3 blocks guards
-    # against shared-infrastructure noise windows.
+    # ~80 ms/frame of pure measurement artifact. Best of 5 blocks guards
+    # against shared-infrastructure noise windows (the compile service
+    # shares the chip; single blocks measured up to ~2% slow).
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         key, sub = jax.random.split(key)
         state = step(state, scene, camera, accel, sub, iters)
