@@ -627,3 +627,21 @@ def test_fuse_geom1_matches_brute(monkeypatch):
     pa = prepare_pallas_accel(ACCEL, SCENE.materials)
     ro, rd = _rays(TILE + 17, seed=21)
     _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+def test_vmem_fallback_renders_under_jit(monkeypatch):
+    # The fallback ClusterAccel reaches get_tracer INSIDE the renderer's
+    # jitted step, where Pallas prep (host-side numpy) cannot run — the
+    # traced path must route straight to the cluster tracer (regression:
+    # TracerArrayConversionError on TPU with a 200k-tri scene).
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    from unityraytracer_tpu import Renderer
+
+    monkeypatch.setattr(pt, "VMEM_CEILING_MB", pt.VMEM_STACK_MB + 0.001)
+    cfg = RenderConfig(width=16, height=16, spp=1, bounces=2,
+                       tracer="pallas", cluster_size=32, ray_chunk=256)
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    r = Renderer(SCENE, cam, cfg, seed=0).step(1)   # jitted step
+    img = np.asarray(r.state.accum)
+    assert np.isfinite(img).all() and img.max() > 0.05

@@ -239,14 +239,22 @@ def _triangle_cluster_candidate(scene, accel: ClusterAccel, ro: Vec3, rd: Vec3,
 def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
     """Build ``fn(ro, rd) -> Hit`` for cfg.tracer in {bvh, cluster, pallas}."""
     if cfg.tracer == "pallas":
-        from .pallas_trace import PallasVmemError, make_pallas_tracer
-        try:
-            return make_pallas_tracer(scene, accel, cfg)
-        except PallasVmemError as e:
-            # Oversize scene (or a ClusterAccel from build_accel's VMEM
-            # fallback): serve tracer="pallas" through the cluster path.
-            from ..utils.logging import get_logger
-            get_logger().warn(str(e))
+        from .pallas_trace import (PallasAccel, PallasVmemError,
+                                   make_pallas_tracer)
+        traced = any(isinstance(l, jax.core.Tracer)
+                     for l in jax.tree_util.tree_leaves(accel))
+        if isinstance(accel, PallasAccel) or not traced:
+            try:
+                return make_pallas_tracer(scene, accel, cfg)
+            except PallasVmemError as e:
+                # Oversize scene: serve tracer="pallas" through the
+                # cluster path (warned here; build_accel warns at build).
+                from ..utils.logging import get_logger
+                get_logger().warn(str(e))
+        # else: a TRACED ClusterAccel under tracer="pallas" — build_accel's
+        # VMEM fallback already decided against the megakernel (Pallas prep
+        # is host-side numpy and cannot run under jit), so route the jitted
+        # render through the cluster path directly.
     # Builders hand out host-numpy pytrees; traced indexing needs jnp leaves
     # (no-op on tracers/device arrays).
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
