@@ -645,3 +645,36 @@ def test_vmem_fallback_renders_under_jit(monkeypatch):
     r = Renderer(SCENE, cam, cfg, seed=0).step(1)   # jitted step
     img = np.asarray(r.state.accum)
     assert np.isfinite(img).all() and img.max() > 0.05
+
+
+def test_sharded_accel_mid_tier_end_to_end(monkeypatch):
+    # Between the VMEM ceiling and the addressing bound, build_accel splits
+    # the scene into kernel-accel shards chained by best-t seeds (exact).
+    # Simulate "oversize" by failing the single-accel prep for the full
+    # 332-tri scene only; shards (~111 tris each) prep normally.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    from unityraytracer_tpu.ops.bvh import build_accel
+    from unityraytracer_tpu import Renderer
+
+    real_prep = pt.prepare_pallas_accel
+
+    def prep(accel, materials=None, **kw):
+        tr = getattr(accel, "triangles", accel)
+        if len(np.asarray(tr.v0)) > 300:
+            raise pt.PallasVmemError("simulated oversize")
+        return real_prep(accel, materials, **kw)
+
+    monkeypatch.setattr(pt, "prepare_pallas_accel", prep)
+    monkeypatch.setattr(pt, "_est_shard_tris", lambda: 128)
+    cfg = RenderConfig(width=24, height=24, spp=1, bounces=2,
+                       tracer="pallas", ray_chunk=576)
+    accel = build_accel(SCENE, cfg)
+    assert isinstance(accel, pt.ShardedPallasAccel)
+    assert len(accel.shards) >= 2
+    cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    r = Renderer(SCENE, cam, cfg, seed=0).step(2)       # jitted step
+    img_sh = np.asarray(r.state.accum)
+    rb = Renderer(SCENE, cam, cfg.replace(tracer="brute"), seed=0).step(2)
+    np.testing.assert_allclose(img_sh, np.asarray(rb.state.accum),
+                               rtol=1e-4, atol=1e-4)

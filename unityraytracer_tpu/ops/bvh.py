@@ -258,14 +258,26 @@ def build_accel(scene: Scene, cfg):
     if getattr(cfg, "tracer", None) == "pallas":
         # The Pallas prep re-orders triangles with its own kd median split
         # and never reads the LBVH tree — skip the radix-tree build entirely.
-        from .pallas_trace import PallasVmemError, prepare_pallas_accel
+        from .pallas_trace import (PallasVmemError, prepare_pallas_accel,
+                                   prepare_pallas_accel_sharded)
         try:
             return prepare_pallas_accel(scene.triangles, scene.materials,
                                         scene=scene)
         except PallasVmemError as e:
-            # Scene too big for the VMEM-resident megakernel: degrade to
-            # the HBM-resident cluster tracer (make_accel_tracer routes a
-            # ClusterAccel under tracer="pallas" the same way).
+            from ..utils.logging import get_logger
+            get_logger().warn(str(e))
+        # Mid tier: VMEM-sized accel shards chained by best-t seeds keep
+        # the kernel path (per-bounce) for scenes up to the ~2M addressing
+        # bound; the HBM-resident cluster tracer stays the last resort.
+        try:
+            sh = prepare_pallas_accel_sharded(scene.triangles,
+                                              scene.materials)
+            from ..utils.logging import get_logger
+            get_logger().warn(
+                f"sharded Pallas accel: {len(sh.shards)} shards "
+                "(per-bounce path; megakernel needs the scene resident)")
+            return sh
+        except (PallasVmemError, ValueError) as e:
             from ..utils.logging import get_logger
             get_logger().warn(str(e))
     return build_cluster_accel(scene.triangles, cluster_size=cfg.cluster_size)

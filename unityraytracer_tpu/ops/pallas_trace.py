@@ -2662,6 +2662,69 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
                        order_ax=order_ax, n_spheres=n_spheres)
 
 
+@struct.dataclass
+class ShardedPallasAccel:
+    """VMEM-sized shards of one scene for the PER-BOUNCE Pallas path.
+
+    Scenes past the single-accel scoped-VMEM ceiling (~150k triangles at
+    defaults) but under the ~2M addressing bound split into contiguous
+    ranges of ONE global kd median-split order (contiguous kd ranges are
+    spatial subtrees, so each shard keeps compact culling boxes). The
+    tracer chains the shards through the kernel's best-t seed — shard i+1
+    culls against everything shards 0..i already hit — and the XLA combine
+    picks the global closest. Exact: same winner as a single accel.
+    """
+
+    shards: Tuple[PallasAccel, ...]
+
+
+def _est_shard_tris() -> int:
+    """Max triangles per shard so the packed blocks fit the VMEM budget
+    (mirrors the prep shapes; exact check still runs per shard)."""
+    lam = lambda x: -(-x // 128) * 128
+    fused = GEOM_MODE in ("mxu_f6", "mxu_f3", "mxu_pf3")
+    eg = 3 if fused else 1
+    cg = 3 if fused else 1
+    per_cluster = 4 * (eg * 8 * lam(3 * KSIZE) + eg * 8 * lam(KSIZE)
+                       + 24 * cg * lam(KSIZE)) + 6 * TILE * 4
+    budget = (VMEM_CEILING_MB - VMEM_STACK_MB - 4) * 2 ** 20
+    return max(KSIZE, (budget // per_cluster) * KSIZE)
+
+
+def prepare_pallas_accel_sharded(accel, materials=None, *,
+                                 max_shard_tris: int = 0,
+                                 **prep_kw) -> ShardedPallasAccel:
+    """Split the scene into VMEM-sized kernel accels (see
+    ShardedPallasAccel). ``max_shard_tris`` overrides the budget-derived
+    shard size (tests). Raises PallasVmemError if even a shard overflows
+    (callers fall back to the cluster tracer)."""
+    from ..scene import Triangles
+
+    tr = getattr(accel, "triangles", accel)
+    v0 = np.asarray(tr.v0)
+    T = len(v0)
+    cap = max_shard_tris or _est_shard_tris()
+    n_shards = max(1, -(-T // cap))
+    # ONE global kd order; shards are contiguous ranges of it.
+    cent = ((np.asarray(tr.v0) + np.asarray(tr.v1) + np.asarray(tr.v2))
+            / 3.0).astype(np.float64)
+    perm = _median_split_order(cent, KSIZE) if T > KSIZE else np.arange(T)
+    bounds = np.linspace(0, T, n_shards + 1).round().astype(np.int64)
+
+    def take(a, idx):
+        return np.ascontiguousarray(np.asarray(a)[idx])
+
+    shards = []
+    for k in range(n_shards):
+        idx = perm[bounds[k]:bounds[k + 1]]
+        sub = Triangles(v0=take(tr.v0, idx), v1=take(tr.v1, idx),
+                        v2=take(tr.v2, idx), n0=take(tr.n0, idx),
+                        n1=take(tr.n1, idx), n2=take(tr.n2, idx),
+                        material_id=take(tr.material_id, idx))
+        shards.append(prepare_pallas_accel(sub, materials, **prep_kw))
+    return ShardedPallasAccel(shards=tuple(shards))
+
+
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
 
 
@@ -2820,7 +2883,9 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
     if accel is not None:
         accel = jax.tree_util.tree_map(jnp.asarray, accel)
 
-    merged = has_tris and accel is not None and accel.gs is not None
+    sharded = isinstance(accel, ShardedPallasAccel)
+    merged = (has_tris and accel is not None and not sharded
+              and accel.gs is not None)
 
     def tracer(ro, rd, alive=None, bin_rays: bool = False) -> Hit:
         """ro/rd: Vec3 tuples of (N,); ``alive`` is an optional (N,) bool
@@ -2841,8 +2906,18 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
             seed = jnp.minimum(cands[0]["t"], cands[1]["t"])
             if alive is not None:
                 seed = jnp.where(alive, seed, 0.0)
-            cands.append(_triangle_pallas_candidate(accel, ro, rd, interpret,
-                                                    seed, bin_rays))
+            if sharded:
+                # Chain shards through the tightening best-t seed: shard
+                # i+1 culls against everything 0..i hit; combine picks the
+                # global closest (exact — same winner as a single accel).
+                for sh in accel.shards:
+                    cand = _triangle_pallas_candidate(sh, ro, rd, interpret,
+                                                      seed, bin_rays)
+                    seed = jnp.minimum(seed, cand["t"])
+                    cands.append(cand)
+            else:
+                cands.append(_triangle_pallas_candidate(
+                    accel, ro, rd, interpret, seed, bin_rays))
         return combine_candidates(scene, ro, rd, cands)
 
     return tracer

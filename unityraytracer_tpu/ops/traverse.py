@@ -240,10 +240,11 @@ def make_accel_tracer(scene: Scene, accel: ClusterAccel, cfg):
     """Build ``fn(ro, rd) -> Hit`` for cfg.tracer in {bvh, cluster, pallas}."""
     if cfg.tracer == "pallas":
         from .pallas_trace import (PallasAccel, PallasVmemError,
-                                   make_pallas_tracer)
+                                   ShardedPallasAccel, make_pallas_tracer)
         traced = any(isinstance(l, jax.core.Tracer)
                      for l in jax.tree_util.tree_leaves(accel))
-        if isinstance(accel, PallasAccel) or not traced:
+        if isinstance(accel, (PallasAccel, ShardedPallasAccel)) \
+                or not traced:
             try:
                 return make_pallas_tracer(scene, accel, cfg)
             except PallasVmemError as e:
