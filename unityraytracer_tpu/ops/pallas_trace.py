@@ -2680,14 +2680,19 @@ class ShardedPallasAccel:
 
 def _est_shard_tris() -> int:
     """Max triangles per shard so the packed blocks fit the VMEM budget
-    (mirrors the prep shapes; exact check still runs per shard)."""
+    (mirrors the prep shapes; exact check still runs per shard). The
+    cluster count pads to a full page (PAGE clusters), so the worst-case
+    padding page is budgeted too — without it a 133k shard's padded blocks
+    measured just past the ceiling and dropped the scene to the cluster
+    tracer."""
     lam = lambda x: -(-x // 128) * 128
     fused = GEOM_MODE in ("mxu_f6", "mxu_f3", "mxu_pf3")
     eg = 3 if fused else 1
     cg = 3 if fused else 1
     per_cluster = 4 * (eg * 8 * lam(3 * KSIZE) + eg * 8 * lam(KSIZE)
                        + 24 * cg * lam(KSIZE)) + 6 * TILE * 4
-    budget = (VMEM_CEILING_MB - VMEM_STACK_MB - 4) * 2 ** 20
+    budget = (VMEM_CEILING_MB - VMEM_STACK_MB - 4) * 2 ** 20 \
+        - (PAGE - 1) * per_cluster
     return max(KSIZE, (budget // per_cluster) * KSIZE)
 
 
