@@ -31,6 +31,15 @@ def _build_scene(args):
     aspect = args.width / args.height
     sky = (load_environment(args.env)[..., :3].astype(np.float32)
            if args.env else None)
+    if getattr(args, "unity", None):
+        from .models.unity_scene import load_unity_scene
+
+        scene, cam, settings = load_unity_scene(
+            args.unity, aspect=aspect, skybox=sky,
+            include_disabled=args.include_disabled)
+        if settings:
+            print(f"unity scene settings: {settings}", file=sys.stderr)
+        return scene, cam
     if args.obj:
         from .models.obj import load_obj_with_materials
         from .scene import Material, SceneBuilder
@@ -86,6 +95,12 @@ def _add_common(p):
                    choices=["scene1", "sample", "bench"],
                    help="built-in fixture scene (ignored with --obj)")
     p.add_argument("--obj", default=None, help="render an OBJ file (+.mtl)")
+    p.add_argument("--unity", default=None,
+                   help="render a Unity .unity scene file (reference "
+                        "component model: RayTraceObject + colliders)")
+    p.add_argument("--include-disabled", action="store_true",
+                   help="with --unity: also load objects whose "
+                        "RayTraceObject component is disabled")
     p.add_argument("--env", default=None, help=".hdr/.exr environment map")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
