@@ -21,6 +21,13 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from unityraytracer_tpu.utils.compcache import enable_persistent_cache
+
+    # Remote compiles queue on a globally-shared service (30-900 s measured,
+    # congestion-dependent); the persistent cache makes reruns of this
+    # unchanged benchmark program skip the queue entirely.
+    enable_persistent_cache()
+
     on_tpu = jax.default_backend() == "tpu"
 
     from unityraytracer_tpu import RenderConfig, RenderState

@@ -17,3 +17,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from unityraytracer_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
+
+# CPU test compiles are plentiful and deterministic — cache them across runs.
+enable_persistent_cache()

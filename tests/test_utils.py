@@ -106,3 +106,20 @@ def test_screenshot(tmp_path):
     r = Renderer(scene, cam, cfg, seed=0).step(1)
     path = r.save_screenshot(str(tmp_path / "shot.png"))
     assert os.path.getsize(path) > 100
+
+
+def test_persistent_compile_cache(tmp_path):
+    import jax
+
+    from unityraytracer_tpu.utils.compcache import enable_persistent_cache
+
+    d = str(tmp_path / "jaxcache")
+    assert enable_persistent_cache(d) == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+    # Env-var opt-out returns None and leaves config untouched.
+    os.environ["URT_COMPILE_CACHE"] = ""
+    try:
+        assert enable_persistent_cache() is None
+    finally:
+        del os.environ["URT_COMPILE_CACHE"]

@@ -118,6 +118,9 @@ def _add_common(p):
 
 
 def main(argv=None) -> int:
+    from .utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat CLI renders skip the remote compile
     ap = argparse.ArgumentParser(prog="unityraytracer_tpu",
                                  description=__doc__.split("\n\n")[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
