@@ -215,11 +215,14 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
         # Uniform rows (precomputed in XLA, see render_sample_mega): 0 roulette,
         # 1 log2(u1), 2 cos(2*pi*u2), 3 sin(2*pi*u2), 4 RR — pure functions of
         # the same threefry draws the XLA bounce loop uses (Mosaic's pow/sin/cos
-        # lower to slow generic polynomials).
-        u_r = uni_ref[0, 0, 0:1, :]
-        log2_u1 = uni_ref[0, 0, 1:2, :]
-        cos_phi = uni_ref[0, 0, 2:3, :]
-        sin_phi = uni_ref[0, 0, 3:4, :]
+        # lower to slow generic polynomials). The block holds ALL bounces'
+        # rows for this step (fetched once per step); this bounce's five sit
+        # at dynamic sublane offset 5*b.
+        urows = uni_ref[0, pl.ds(5 * b, 5), :]
+        u_r = urows[0:1, :]
+        log2_u1 = urows[1:2, :]
+        cos_phi = urows[2:3, :]
+        sin_phi = urows[3:4, :]
 
         if "noshade" in ABLATE:
             new_ro, new_dir = ro, rd
@@ -291,7 +294,7 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
         if use_rr:
             # Unbiased Russian roulette from bounce 3 (render.py bounce loop).
             do_rr = (bg >= 2) & (bg < bounces - 1)
-            u_rr = uni_ref[0, 0, 4:5, :]
+            u_rr = urows[4:5, :]
             p_surv = jnp.clip(jnp.maximum(jnp.maximum(energy[0:1, :],
                                                       energy[1:2, :]),
                                           energy[2:3, :]), 0.05, 1.0)
@@ -362,16 +365,22 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         return a.reshape(n_steps, 1, B)
 
     ray_in = [comp(c) for c in (*ro, *rd, alive0, *energy0)]
-    # (n_steps, nb, 8, B): rows 0-4 = uniform rows, 5-7 pad (block
-    # specs need a sublane dim % 8).
-    uni8 = jnp.concatenate(
-        [uni, jnp.zeros((nb, 3, Np), jnp.float32)], axis=1)
-    uni_steps = jnp.transpose(uni8.reshape(nb, 8, n_steps, B),
-                              (2, 0, 1, 3))
+    # (n_steps, R8, B) with R8 = pad8(5*nb): ALL of a step's uniform rows in
+    # one block, row 5*b+j = uniform j of local bounce b. One transpose, no
+    # per-bounce pad concats (the old (n_steps, nb, 8, B) layout padded every
+    # bounce to 8 rows and re-fetched a block per (step, bounce); this block's
+    # index map is constant in b, so Pallas fetches it once per step and the
+    # kernel slices rows at a dynamic sublane offset — measured ~4 ms/frame
+    # of concatenate+pad+copy ops removed at 1080p x 8 bounces).
+    R = 5 * nb
+    R8 = -(-R // 8) * 8
+    uni_steps = jnp.transpose(uni.reshape(R, Np // B, B), (1, 0, 2))
+    if R8 != R:
+        uni_steps = jnp.pad(uni_steps, ((0, 0), (0, R8 - R), (0, 0)))
 
     ray_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    uni_spec = pl.BlockSpec((1, 1, 8, B), lambda i, b: (i, b, 0, 0),
+    uni_spec = pl.BlockSpec((1, R8, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)
