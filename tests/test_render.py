@@ -200,6 +200,32 @@ def test_deep_bounce_rr_cross_path(rr_group):
     assert rmse(imgs["loop"], imgs["brute"]) < 1e-3
 
 
+def test_sample_scene_shipped_quality_settings():
+    """SampleScene at its SHIPPED quality preset — numBounces=10,
+    numRays=25 (SampleScene.unity:433-434) — end-to-end through brute and
+    the megakernel under the cross-tracer RMSE gate. spp=25 x 10 bounces is
+    the stress corner of the flagship path's block layouts (uniform-row
+    blocks scale with spp*bounces; 8x16 blocking transposes over a 25-deep
+    spp axis) that the golden gate (spp=2 x 3) and the bench (spp=1 x 8)
+    never touch. Small resolution keeps the dense oracle tractable."""
+    from unityraytracer_tpu.models import fixtures
+    from unityraytracer_tpu.utils.image import rmse
+
+    scene = fixtures.sample_scene()
+    cam = fixtures.sample_scene_camera(aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, spp=25, bounces=10,
+                       tracer="brute", ray_chunk=6400,
+                       russian_roulette=True)
+    img = {}
+    for tag, tcfg in (("brute", cfg),
+                      ("mega", cfg.replace(tracer="pallas"))):
+        r = Renderer(scene, cam, tcfg, seed=21).step(1)
+        img[tag] = r.image
+        assert np.isfinite(img[tag]).all()
+    assert img["brute"].max() > 0.05  # the preset actually renders light
+    assert rmse(img["mega"], img["brute"]) < 1e-3
+
+
 def test_rng_impl_rbg_cross_tracer():
     """rng_impl="rbg" (XLA RngBitGenerator bits, hardware-RNG on TPU —
     the cheap alternative to ~50M XLA-side threefry words per 1080p frame)

@@ -113,13 +113,21 @@ def test_persistent_compile_cache(tmp_path):
 
     from unityraytracer_tpu.utils.compcache import enable_persistent_cache
 
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_env = os.environ.get("URT_COMPILE_CACHE")
     d = str(tmp_path / "jaxcache")
-    assert enable_persistent_cache(d) == d
-    assert os.path.isdir(d)
-    assert jax.config.jax_compilation_cache_dir == d
-    # Env-var opt-out returns None and leaves config untouched.
-    os.environ["URT_COMPILE_CACHE"] = ""
     try:
+        assert enable_persistent_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        # Env-var opt-out returns None and leaves config untouched.
+        os.environ["URT_COMPILE_CACHE"] = ""
         assert enable_persistent_cache() is None
     finally:
-        del os.environ["URT_COMPILE_CACHE"]
+        # Restore session state: don't leave the cache pointed at a pytest
+        # tmp dir or clobber a pre-existing env opt-out/opt-in.
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        if prev_env is None:
+            os.environ.pop("URT_COMPILE_CACHE", None)
+        else:
+            os.environ["URT_COMPILE_CACHE"] = prev_env

@@ -94,9 +94,12 @@ class RenderConfig:
     # the estimator stream is bit-identical to the unsplit kernel), and
     # finishes bounces [split_bounce, bounces) on the compact buffer.
     # None disables. If more than split_frac*N rays survive the split
-    # bounce, the overflow rays are dropped (their remaining contribution
-    # is lost — a documented bias); size split_frac for the scene, or
-    # leave splitting off. The brute/bvh/cluster oracles are unaffected.
+    # bounce, the overflow rays finish at full width in a lax.cond-gated
+    # remainder pass on their original streams — the estimator is
+    # bit-identical to the unsplit kernel in EVERY regime (no overflow
+    # bias); an overflowing frame just pays one extra deep-bounce dispatch,
+    # so size split_frac for the common case. The brute/bvh/cluster oracles
+    # are unaffected.
     split_bounce: Optional[int] = None
     split_frac: float = 0.125
     # PRNG implementation for the per-frame random streams

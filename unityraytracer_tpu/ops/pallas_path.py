@@ -216,9 +216,12 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
         # 1 log2(u1), 2 cos(2*pi*u2), 3 sin(2*pi*u2), 4 RR — pure functions of
         # the same threefry draws the XLA bounce loop uses (Mosaic's pow/sin/cos
         # lower to slow generic polynomials). The block holds ALL bounces'
-        # rows for this step (fetched once per step); this bounce's five sit
-        # at dynamic sublane offset 5*b.
-        urows = uni_ref[0, pl.ds(5 * b, 5), :]
+        # rows for this step (fetched once per step), strided at EIGHT rows
+        # per bounce so the dynamic sublane offset 8*b is provably 8-aligned
+        # (Mosaic rejects 5*b: "cannot statically prove that index in
+        # dimension 1 is a multiple of 8" — the round-3 HEAD regression).
+        # Rows 8b..8b+4 are live; 8b+5..8b+7 are pad.
+        urows = uni_ref[0, pt.ds8(8, b, 8), :]
         u_r = urows[0:1, :]
         log2_u1 = urows[1:2, :]
         cos_phi = urows[2:3, :]
@@ -365,18 +368,19 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         return a.reshape(n_steps, 1, B)
 
     ray_in = [comp(c) for c in (*ro, *rd, alive0, *energy0)]
-    # (n_steps, R8, B) with R8 = pad8(5*nb): ALL of a step's uniform rows in
-    # one block, row 5*b+j = uniform j of local bounce b. One transpose, no
-    # per-bounce pad concats (the old (n_steps, nb, 8, B) layout padded every
-    # bounce to 8 rows and re-fetched a block per (step, bounce); this block's
+    # (n_steps, 8*nb, B): ALL of a step's uniform rows in one block, row
+    # 8*b+j = uniform j of local bounce b (rows 8b+5..8b+7 pad). The block's
     # index map is constant in b, so Pallas fetches it once per step and the
-    # kernel slices rows at a dynamic sublane offset — measured ~4 ms/frame
-    # of concatenate+pad+copy ops removed at 1080p x 8 bounces).
-    R = 5 * nb
-    R8 = -(-R // 8) * 8
-    uni_steps = jnp.transpose(uni.reshape(R, Np // B, B), (1, 0, 2))
-    if R8 != R:
-        uni_steps = jnp.pad(uni_steps, ((0, 0), (0, R8 - R), (0, 0)))
+    # kernel slices rows at dynamic sublane offset 8*b — 8-ALIGNED BY
+    # CONSTRUCTION (Mosaic requires dynamic sublane offsets provably ≡ 0
+    # mod 8; the round-3 5*b layout failed TPU compilation). One pad +
+    # transpose here, no per-bounce pad concats (the old (n_steps, nb, 8, B)
+    # layout re-fetched a block per (step, bounce); one-fetch-per-step
+    # measured ~4 ms/frame cheaper at 1080p x 8 bounces).
+    R8 = 8 * nb
+    uni_steps = jnp.transpose(
+        jnp.pad(uni, ((0, 0), (0, 3), (0, 0))).reshape(R8, Np // B, B),
+        (1, 0, 2))
 
     ray_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -99,6 +99,37 @@ VMEM_CEILING_MB = 126
 VMEM_STACK_MB = 30
 
 
+def ds8(stride: int, idx, size: int):
+    """Checked dynamic sublane slice: rows [stride*idx, stride*idx + size).
+
+    Mosaic layout rules (probed on v5e; the round-3 ``pl.ds(5*b, 5)``
+    regression is the cautionary tale — interpret mode enforces NONE of
+    them, so misaligned slices sail through the CPU suite and fail only on
+    hardware):
+
+    * a single-row dynamic sublane index (size == 1) may sit anywhere;
+    * a multi-row dynamic slice needs BOTH its offset and its size provably
+      ≡ 0 (mod 8). ``pl.multiple_of`` only ASSERTS the offset claim to
+      Mosaic — it never checks it — so this helper verifies the static
+      stride factor at trace time, where the CPU interpret tests trace the
+      exact same code and fail loudly.
+
+    All dynamic sublane slices in the kernel files must route through this
+    helper; tests/test_mosaic_align.py enforces that by AST scan.
+    """
+    if not isinstance(stride, int) or not isinstance(size, int):
+        raise TypeError("ds8 stride/size must be static Python ints")
+    if size == 1:
+        return pl.ds(idx if stride == 1 else stride * idx, 1)
+    if stride % 8 != 0 or size % 8 != 0:
+        raise ValueError(
+            f"ds8(stride={stride}, size={size}): multi-row dynamic sublane "
+            "slices need stride % 8 == 0 and size % 8 == 0 — Mosaic cannot "
+            "statically prove alignment otherwise (the ee5d2bf failure "
+            "class; see CLAUDE.md TPU/Mosaic rules)")
+    return pl.ds(pl.multiple_of(stride * idx, 8), size)
+
+
 class PallasVmemError(ValueError):
     """Scene's packed accel blocks cannot fit scoped VMEM (the megakernel
     keeps the whole scene resident). Callers catch this to fall back to the
@@ -1056,8 +1087,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 fused-split edge dot + one plane dot (ONE combined dot
                 under FUSE_GEOM1 — identical contractions, so the values
                 are bit-identical)."""
-                eblk = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
-                pblk = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                eblk = epl_ref[ds8(24, c, 24), :]
+                pblk = epn_ref[ds8(24, c, 24), :]
                 dims = (((0,), (0,)), ((), ()))
                 if FUSE_GEOM1:
                     A = jnp.concatenate([fuse_tri(eblk), fuse_tri(pblk)],
@@ -1092,8 +1123,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 issues one cluster does."""
                 eLs, pLs = [], []
                 for c in cs:
-                    eb = epl_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
-                    pb = epn_ref[pl.ds(pl.multiple_of(c * 24, 8), 24), :]
+                    eb = epl_ref[ds8(24, c, 24), :]
+                    pb = epn_ref[ds8(24, c, 24), :]
                     eLs.append(fuse_tri(eb))
                     pLs.append(fuse_tri(pb))
                 dims = (((0,), (0,)), ((), ()))
@@ -1130,7 +1161,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     S[ROW_ADM:ROW_ADM + 1, ls] + 1.0  # admitted (pre-re-gate)
             if not REGATE:
                 return _cluster_body(c)
-            row = pl.ds(c, 1)
+            row = ds8(1, c, 1)
             tmn = jnp.full((1, TILE), -_F32_MAX, jnp.float32)
             tmx = jnp.full((1, TILE), _F32_MAX, jnp.float32)
             for a, (r0, r1) in enumerate(((cbx0_ref, cbx1_ref),
@@ -1164,8 +1195,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 e_all, tnd = fused_dots(c)
                 return fused_epilogue(c, e_all, tnd)
 
-            eblk = epl_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, 3K)
-            pblk = epn_ref[pl.ds(pl.multiple_of(c * 8, 8), 8), :]  # (8, K)
+            eblk = epl_ref[ds8(8, c, 8), :]  # (8, 3K)
+            pblk = epn_ref[ds8(8, c, 8), :]  # (8, K)
 
             def row_col(blk, r, lane0=0, width=KSIZE):
                 # (1, width) row slice of a VMEM block -> (width, 1) column
@@ -1353,7 +1384,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             if HOIST_CHAN and not pipe_store:
                 RPC_h = 3 * NCHAN
                 blk_h = jnp.concatenate(
-                    [chan_ref[pl.ds(pl.multiple_of(c * RPC_h, 8), RPC_h), :]
+                    [chan_ref[ds8(RPC_h, c, RPC_h), :]
                      for c in cs], axis=1)               # (RPC, NK)
             e_all, tnd = fused_dotsN(cs)
             K = KSIZE
@@ -1446,7 +1477,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
                 RPC = 3 * NCHAN
                 blk = blk_h if blk_h is not None else jnp.concatenate(
-                    [chan_ref[pl.ds(pl.multiple_of(c * RPC, 8), RPC), :]
+                    [chan_ref[ds8(RPC, c, RPC), :]
                      for c in cs], axis=1)                # (RPC, NK)
                 pick = jnp.concatenate(picks, axis=0).astype(
                     jnp.bfloat16 if blk.dtype == jnp.bfloat16
@@ -1488,8 +1519,8 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             c0s = jnp.maximum(pc0, 0)
             c1s = jnp.maximum(pc1, 0)
             blk = jnp.concatenate(
-                [chan_ref[pl.ds(pl.multiple_of(c0s * RPC, 8), RPC), :],
-                 chan_ref[pl.ds(pl.multiple_of(c1s * RPC, 8), RPC), :]],
+                [chan_ref[ds8(RPC, c0s, RPC), :],
+                 chan_ref[ds8(RPC, c1s, RPC), :]],
                 axis=1)                                  # (RPC, 2K)
             p_op = pick.astype(jnp.bfloat16 if blk.dtype == jnp.bfloat16
                                else jnp.float32)
@@ -1577,8 +1608,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                        + sel3[2 * NCHAN:3 * NCHAN, :])
             elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
                     and chan_mode not in ("split3", "bf16s3"):
-                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                      NCHAN), :]
+                chan = chan_ref[ds8(NCHAN, c, NCHAN), :]
                 sel = jnp.dot(chan, pick,
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
@@ -1593,8 +1623,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 # and feeds a bf16 pick: half the operand staging bytes,
                 # still bit-exact (one-hot {0,1} is exact in bf16; the
                 # products ARE the stored components; accumulate in f32).
-                cblk = chan_ref[pl.ds(pl.multiple_of(c * 3 * NCHAN, 8),
-                                      3 * NCHAN), :]
+                cblk = chan_ref[ds8(3 * NCHAN, c, 3 * NCHAN), :]
                 p_op = (pick.astype(jnp.bfloat16)
                         if cblk.dtype == jnp.bfloat16 else pick)
                 sel3 = jax.lax.dot_general(
@@ -1603,8 +1632,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
                        + sel3[2 * NCHAN:3 * NCHAN, :])
             else:
-                chan = chan_ref[pl.ds(pl.multiple_of(c * NCHAN, 8),
-                                      NCHAN), :]
+                chan = chan_ref[ds8(NCHAN, c, NCHAN), :]
                 # HIGHEST: default MXU precision would truncate the
                 # selected normals/materials to bf16.
                 sel = jnp.dot(chan, pick,
@@ -1748,7 +1776,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                                  & (c_j >= 0))
                     c_safe = jnp.maximum(c_j, 0)
                     blks.append(chan_ref[
-                        pl.ds(pl.multiple_of(c_safe * RPC, 8), RPC), :])
+                        ds8(RPC, c_safe, RPC), :])
                 blk = jnp.concatenate(blks, axis=1)  # (RPC, GID_BATCH*K)
                 pick = jnp.concatenate(picks, axis=0).astype(
                     jnp.bfloat16 if blk.dtype == jnp.bfloat16
@@ -1795,7 +1823,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             lane = g_row.astype(jnp.int32) - 1
             pick = ((sub_mat == lane) & valid).astype(jnp.float32)
             c_safe = jnp.maximum(c_p, 0)
-            blk = chan_ref[pl.ds(pl.multiple_of(c_safe * RPC, 8), RPC), :]
+            blk = chan_ref[ds8(RPC, c_safe, RPC), :]
             if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan"):
                 sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # perf probes
             elif split:

@@ -62,8 +62,16 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
                       mode: str = "rows") -> Callable:
     """Build a jitted progressive step over the device mesh.
 
-    Returns ``step(state, scene, camera, accel, key) -> state`` where
-    state.accum is row-sharded ("rows" mode) or replicated ("spp" mode).
+    Returns ``step(state, scene, camera, accel, key, n_frames=1) -> state``
+    where state.accum is row-sharded ("rows" mode) or replicated ("spp"
+    mode). ``n_frames`` (static) runs the whole block inside ONE jit
+    dispatch via ``lax.fori_loop`` — same amortization as ``Renderer``'s
+    fused step (render.py): through a remote-execution tunnel per-dispatch
+    latency is hundreds of ms, and a multi-chip run pays it on every chip.
+    Frame i draws ``fold_in(key, n_samples + i)`` then ``fold_in(_, dev)``
+    per device, so a band's stream is a pure function of (key, sample
+    index, device index) — what the deterministic band-equivalence test
+    reconstructs single-device (tests/test_parallel.py).
     """
     n_dev = mesh.shape[AXIS]
     if mode == "rows":
@@ -100,11 +108,16 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
         check_vma=False,
     )
 
-    @jax.jit
-    def step(state: RenderState, scene: Scene, camera: Camera, accel, key):
-        accum, n_samples = shmapped(state.accum, state.n_samples, scene,
-                                    camera, accel, key)
-        return RenderState(accum=accum, n_samples=n_samples)
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    def step(state: RenderState, scene: Scene, camera: Camera, accel, key,
+             n_frames: int = 1):
+        def body(_, st):
+            sub = jax.random.fold_in(key, st.n_samples)
+            accum, n_samples = shmapped(st.accum, st.n_samples, scene,
+                                        camera, accel, sub)
+            return RenderState(accum=accum, n_samples=n_samples)
+
+        return jax.lax.fori_loop(0, n_frames, body, state)
 
     return step
 
@@ -136,13 +149,61 @@ class ShardedRenderer:
         self.state = (create_sharded_state(config, self.mesh)
                       if mode == "rows"
                       else RenderState.create(config.width, config.height))
+        self.stats = {}
 
-    def step(self, n_frames: int = 1) -> "ShardedRenderer":
-        for _ in range(n_frames):
+    def step(self, n_frames: int = 1, fused: bool = True) -> "ShardedRenderer":
+        """Advance the progressive render; records fetch-timed throughput in
+        ``self.stats`` (Renderer.step parity — Mrays/s here counts slots
+        across the WHOLE mesh: all devices trace their bands concurrently).
+
+        ``fused=True`` advances all ``n_frames`` inside ONE jitted dispatch
+        (one fori_loop; recompiles per distinct n_frames)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if fused:
             self._key, sub = jax.random.split(self._key)
             self.state = self._step(self.state, self.scene, self.camera,
-                                    self.accel, sub)
+                                    self.accel, sub, n_frames)
+        else:
+            for _ in range(n_frames):
+                self._key, sub = jax.random.split(self._key)
+                self.state = self._step(self.state, self.scene, self.camera,
+                                        self.accel, sub, 1)
+        # One fetch synchronizes the chain (block_until_ready does not block
+        # through remote execution tunnels).
+        np.asarray(jax.device_get(self.state.n_samples))
+        dt = _time.perf_counter() - t0
+        rays = self.config.num_rays * self.config.bounces * n_frames
+        self.stats = dict(frames=n_frames, seconds=dt,
+                          ms_per_frame=dt / n_frames * 1000.0,
+                          mrays_per_sec=rays / dt / 1e6)
         return self
+
+    def profile(self, n_frames: int = 1):
+        """Per-stage device-time breakdown of the sharded frame step
+        (Renderer.profile parity; see utils/profiling.py for the tunnel
+        caveats the implementation works around)."""
+        from ..utils.profiling import fetch_sync, profile_stages
+
+        def one_frame():
+            self._key, sub = jax.random.split(self._key)
+            self.state = self._step(self.state, self.scene, self.camera,
+                                    self.accel, sub, 1)
+
+        def run():
+            for _ in range(n_frames):
+                one_frame()
+            return self.state
+
+        # Warm the 1-frame jit cache outside the trace window (Renderer
+        # .profile rationale: a cold compile inside the window hides the
+        # device rows behind host seconds).
+        one_frame()
+        fetch_sync(self.state)
+        prof = profile_stages(run)
+        self.stats["device"] = prof
+        return prof
 
     @property
     def image(self) -> np.ndarray:

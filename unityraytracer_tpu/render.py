@@ -108,13 +108,21 @@ def _env_tap(scene: Scene, cfg: RenderConfig, sky_d, su1, su2,
 
 def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
                   cfg: RenderConfig, row0: int = 0,
-                  rows: Optional[int] = None) -> jnp.ndarray:
+                  rows: Optional[int] = None,
+                  with_alive_count: bool = False) -> jnp.ndarray:
     """Render one frame band: (rows, W, 3) linear radiance, mean over spp.
 
     Row 0 of the full output is the TOP of the image. ``row0``/``rows``
     select a horizontal band of the full cfg.height image — the unit of
     multi-chip framebuffer sharding (each device renders disjoint bands with
     its own RNG stream; see parallel/sharding.py).
+
+    ``with_alive_count``: also return the summed per-bounce alive-ray count
+    (rays ENTERING each bounce, after miss/energy/roulette termination of
+    the previous one) — the honest "effective rays traced" denominator next
+    to the dispatched-slot count W*H*spp*bounces (bench.py reports both;
+    the estimator streams are tracer-identical, so this count measured on
+    any tracer applies to all of them).
     """
     H, W, spp = cfg.height, cfg.width, cfg.spp
     h = H if rows is None else rows
@@ -190,8 +198,11 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     # per-ray gathers per bounce at ~46 ms each on v5e — more than the kernel
     # time it saves.
     alive = jnp.ones((N,), bool)
+    alive_total = jnp.zeros((), jnp.float32)
     lo_bin, hi_bin = cfg.ray_bin_bounces
     for b in range(cfg.bounces):
+        if with_alive_count:
+            alive_total = alive_total + jnp.sum(alive.astype(jnp.float32))
         bin_b = (lo_bin is not None and hi_bin is not None
                  and lo_bin <= b <= hi_bin)
         hit = tracer(ro, rd, alive, bin_rays=bin_b)
@@ -250,6 +261,8 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
     # Stack to (h, W, 3) only at the very end (single boundary transpose).
     img = jnp.stack([c.reshape(spp, h, W).mean(axis=0) for c in radiance],
                     axis=-1)
+    if with_alive_count:
+        return img, alive_total
     return img
 
 
@@ -270,13 +283,18 @@ def _path_trace_split(scene, accel, ro, rd, uni, su1, su2, cfg, interpret,
     gathered BY ORIGINAL RAY INDEX, so the estimator stream is
     bit-identical to the unsplit megakernel (oracle gates unaffected).
 
-    The compact buffer holds ceil(N*cfg.split_frac) rays; survivors beyond
-    it are dropped (documented bias — see RenderConfig.split_bounce).
-    Deep-bounce sky contributions are resolved IN the compact domain (the
-    environment tap is a per-ray skybox gather, so its cost scales with the
-    compact count) and scatter-added; the returned sky records carry only
-    segment-1 misses (rays that survived into segment 2 have zero recorded
-    sky energy), so the caller's full-width environment pass stays valid.
+    The compact buffer holds ceil(N*cfg.split_frac) rays. Survivors beyond
+    it (overflow) are NOT dropped: a ``lax.cond``-gated remainder pass
+    finishes them at full width on their ORIGINAL per-ray streams, so the
+    estimator is bit-identical to the unsplit megakernel in every regime —
+    overflow costs one extra full-width deep-bounce dispatch, and the cond
+    makes that free on frames that fit (TPU conditionals execute only the
+    taken branch). Deep-bounce sky contributions are resolved IN the
+    compact domain (the environment tap is a per-ray skybox gather, so its
+    cost scales with the compact count) and scatter-added; the returned sky
+    records carry only segment-1 misses (rays that survived into segment 2
+    have zero recorded sky energy), so the caller's full-width environment
+    pass stays valid.
     """
     from .ops.pallas_path import path_trace
     from .ops import pallas_trace as pt
@@ -317,10 +335,37 @@ def _path_trace_split(scene, accel, ro, rd, uni, su1, su2, cfg, interpret,
                      interpret=interpret)
     rad_c = vec_ops.add(rad2, vec_ops.mul(se2, sky_c))
     # Pad slots alias ray 0 but are dead from bounce sb, so they add zeros;
-    # the explicit mask also covers any overflow-dropped garbage.
+    # the explicit mask also covers slots past the live count.
     radiance = tuple(
         rad1[k].at[idx].add(jnp.where(slot_live, rad_c[k], 0.0))
         for k in range(3))
+
+    # Unbiased overflow: survivors past the compact buffer (ordv >= C)
+    # finish their deep bounces at FULL width on their original per-ray
+    # streams — the estimator stays bit-identical to the unsplit megakernel
+    # in every regime. lax.cond skips the whole pass (TPU conditionals
+    # execute only the taken branch) on frames that fit, so sizing
+    # split_frac for the common case costs nothing when a hard frame
+    # overflows — it just runs slower instead of rendering wrong.
+    overflow_alive = (alive & (ordv >= C)).astype(jnp.float32)
+
+    def _remainder(_):
+        ro_f = (st[0], st[1], st[2])
+        rd_f = (st[3], st[4], st[5])
+        en_f = (st[6], st[7], st[8])
+        rad3, se3, sd3 = path_trace(accel, ro_f, rd_f, uni[sb:], cfg,
+                                    interpret, b0=sb, nb=nb2, energy0=en_f,
+                                    alive0=overflow_alive)
+        sky3 = _env_tap(scene, cfg, sd3, su1, su2, interpret=interpret)
+        return vec_ops.add(rad3, vec_ops.mul(se3, sky3))
+
+    def _no_remainder(_):
+        z = jnp.zeros((N,), jnp.float32)
+        return (z, z, z)
+
+    rad_rem = jax.lax.cond(jnp.sum(overflow_alive) > 0, _remainder,
+                           _no_remainder, operand=None)
+    radiance = vec_ops.add(radiance, rad_rem)
     return radiance, se1, sd1
 
 
