@@ -7,7 +7,10 @@ roulette shade, x bounces) on the flagship path and prints ONE JSON line:
 vs_baseline is measured against BASELINE.json's north-star target of
 100 Mrays/sec/chip (the reference publishes no numbers of its own —
 README.md:2 only says it is "very slow"). Rays are counted as dispatched
-trace slots: width x height x spp x bounces per frame.
+trace slots: width x height x spp x bounces per frame; the JSON also
+carries ``effective_mrays`` — the alive-weighted rate (miss termination
+and Russian roulette kill most slots by bounce 2) — so both the
+slot-throughput and the honest surviving-ray rate are recorded.
 """
 
 import functools

@@ -17,9 +17,19 @@ weak #8c) for an upstream report.
 Usage (TPU):  python examples/repro_ksize64_mosaic_crash.py
 Expected:     KSIZE=128 control renders; KSIZE=64 raises — the full
               compiler/service error is printed for capture.
+
+STATUS (re-tested 2026-08-19, round 4, v5e via the axon service): KSIZE=64
+now COMPILES AND RUNS at this config — the round-3 HTTP 500 no longer
+reproduces here (compile service updated since). Kept as the standing
+probe; the perf conclusion stands (KSIZE=64 lost 26 ms/frame), so nothing
+ships at 64 either way.
 """
 
+import os
+import sys
 import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax

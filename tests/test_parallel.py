@@ -117,6 +117,57 @@ def test_sharded_fused_step_and_stats():
         assert r.stats["mrays_per_sec"] > 0
 
 
+def _mesh_scene(n_tris=900):
+    from unityraytracer_tpu.models import fixtures
+    return fixtures.bench_scene(n_tris=n_tris)
+
+
+def test_scene_sharding_matches_single_device():
+    """mode="scene" (1/n of the triangles per device, closest-hit
+    all-reduce) must reproduce the single-device render of the SAME seed to
+    float tolerance: RNG/shading replicate, only tracing is sharded, and
+    the min-combine is exact."""
+    scene = _mesh_scene()
+    cfg = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024,
+                      bounces=3)
+    cam = Camera.create(position=(0, 10, -30), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    r_sh = ShardedRenderer(scene, cam, cfg, seed=4, mode="scene").step(2)
+    r_1 = Renderer(scene, cam, cfg, seed=4).step(2)
+    assert np.isfinite(r_sh.image).all()
+    assert r_sh.image.max() > 0.05
+    np.testing.assert_allclose(r_sh.image, r_1.image, atol=2e-5, rtol=1e-4)
+
+
+def test_scene_sharding_accel_is_sharded_and_smaller():
+    """Each device holds ~1/n of the triangles: the stacked accel leaves
+    are sharded on the device axis and the per-shard triangle count is
+    ceil(T/n)."""
+    from unityraytracer_tpu.parallel.scene_shard import shard_scene_accels
+
+    scene = _mesh_scene()
+    cfg = CFG.replace(tracer="cluster", cluster_size=16)
+    mesh = make_mesh()
+    n = mesh.shape["devices"]
+    stacked = shard_scene_accels(scene, cfg, n)
+    assert stacked.triangles.v0.shape[0] == n
+    per = stacked.triangles.v0.shape[1]
+    assert per < scene.num_triangles  # strictly smaller than the whole
+    assert per * n >= scene.num_triangles  # and they cover it
+
+    r = ShardedRenderer(scene, CAM, cfg, seed=0, mode="scene")
+    shardings = {str(l.sharding)
+                 for l in jax.tree_util.tree_leaves(r.accel)}
+    assert any("devices" in s for s in shardings)
+
+
+def test_scene_sharding_rejects_pallas():
+    scene = _mesh_scene(100)
+    with pytest.raises(ValueError, match="scene sharding"):
+        ShardedRenderer(scene, CAM, CFG.replace(tracer="pallas"),
+                        seed=0, mode="scene").step(1)
+
+
 def test_rows_state_is_sharded():
     mesh = make_mesh()
     state = create_sharded_state(CFG, mesh)

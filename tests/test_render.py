@@ -282,6 +282,14 @@ def test_cli_render_and_info(tmp_path, capsys):
     assert os.path.getsize(png) > 100
     assert load_exr(aovs, part="albedo").shape == (48, 64, 3)
 
+    # Multi-chip CLI: one scene-sharded render across the virtual mesh.
+    png2 = str(tmp_path / "cli_shard.png")
+    rc = main(["render", "--scene", "scene1", "--width", "32", "--height",
+               "32", "--bounces", "2", "--frames", "1", "--tracer",
+               "cluster", "--shard", "scene", "-o", png2])
+    assert rc == 0
+    assert os.path.getsize(png2) > 100
+
 
 def test_watch_progressive_preview(tmp_path):
     # Renderer.watch: the OnRenderImage display analog — progressive file

@@ -83,10 +83,17 @@ def _make_renderer(args):
 
     on_tpu = jax.default_backend() == "tpu"
     tracer = args.tracer or ("pallas" if on_tpu else "cluster")
+    shard = getattr(args, "shard", None)
+    if shard == "scene" and tracer == "pallas":
+        tracer = "cluster"  # scene sharding traces HBM-resident (see docs)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        bounces=args.bounces, tracer=tracer,
                        wavefront=True, rng_impl=args.rng)
     scene, cam = _build_scene(args)
+    if shard:
+        from .parallel.sharding import ShardedRenderer
+
+        return ShardedRenderer(scene, cam, cfg, seed=args.seed, mode=shard)
     return Renderer(scene, cam, cfg, seed=args.seed)
 
 
@@ -115,6 +122,11 @@ def _add_common(p):
                    help="progressive samples to accumulate")
     p.add_argument("--tris", type=int, default=100_000,
                    help="triangle count for --scene bench")
+    p.add_argument("--shard", default=None,
+                   choices=["rows", "spp", "scene"],
+                   help="multi-chip mode over all devices: rows = "
+                        "framebuffer bands, spp = sample-parallel pmean, "
+                        "scene = 1/n of the triangles per device")
 
 
 def main(argv=None) -> int:
@@ -158,6 +170,10 @@ def main(argv=None) -> int:
 
     r = _make_renderer(args)
     if args.cmd == "preview":
+        if args.shard:
+            print("--shard applies to `render` (preview is single-chip)",
+                  file=sys.stderr)
+            return 2
         r.watch(args.out, every=args.every, frames=args.frames,
                 http_port=args.port)
         print(f"wrote {args.out} ({r.sample_count} samples)")
@@ -167,15 +183,20 @@ def main(argv=None) -> int:
     from .utils.image import tonemap_aces, write_png
 
     r.step(args.frames)
-    img = r.denoised_image(guided=True) if args.denoise else r.image
+    img = (r.denoised_image(guided=True)
+           if args.denoise and hasattr(r, "denoised_image") else r.image)
     write_png(args.out, img if args.no_tonemap else tonemap_aces(img))
     stats = r.stats
     print(f"wrote {args.out}: {args.frames} samples, "
           f"{stats['ms_per_frame']:.1f} ms/frame, "
           f"{stats['mrays_per_sec']:.1f} Mrays/s")
     if args.aovs:
-        r.save_aovs(args.aovs)
-        print(f"wrote {args.aovs} (beauty/albedo/normal/depth/emission)")
+        if hasattr(r, "save_aovs"):
+            r.save_aovs(args.aovs)
+            print(f"wrote {args.aovs} (beauty/albedo/normal/depth/emission)")
+        else:
+            print("--aovs needs the single-chip renderer (no --shard)",
+                  file=sys.stderr)
     return 0
 
 

