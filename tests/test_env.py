@@ -21,12 +21,14 @@ def test_usable_gates():
     assert not usable(2048, 4096)     # 8M texels: table exceeds VMEM
 
 
+@pytest.mark.parametrize("impl", ["bf16", "bf16x8", "int8x8"])
 @pytest.mark.parametrize("n", [ENV_BLOCK, ENV_BLOCK + 37, 777])
-def test_mxu_tap_bit_exact(n):
+def test_mxu_tap_bit_exact(n, impl):
     # The one-hot dot sums exactly one exact product (bytes 0-255 are exact
-    # in bf16), and the decode matches _decode_rgbe op-for-op — so the MXU
-    # path must be BIT-identical to the serial-gather path, padding
-    # included.
+    # in bf16; byte-128 exact in int8 with s32 accumulation), and the decode
+    # matches _decode_rgbe op-for-op — so every MXU impl must be
+    # BIT-identical to the serial-gather path, padding included (the x8
+    # impls pad to 8*B rays, exercised by every n here).
     sky = sun_sky()
     H, W = sky.shape[:2]
     packed = jnp.asarray(pack_rgbe_np(sky))
@@ -38,7 +40,8 @@ def test_mxu_tap_bit_exact(n):
     u2 = jnp.asarray(rng.uniform(size=n).astype(np.float32))
     ref = sample_skybox_rgbe(jnp.asarray(sky), rd, u1=u1, u2=u2,
                              packed=packed)
-    got = sample_skybox_rgbe_mxu((H, W), packed, rd, u1, u2, interpret=True)
+    got = sample_skybox_rgbe_mxu((H, W), packed, rd, u1, u2, interpret=True,
+                                 impl=impl)
     for k in range(3):
         np.testing.assert_array_equal(np.asarray(ref[k]),
                                       np.asarray(got[k]))

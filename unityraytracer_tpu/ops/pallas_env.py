@@ -42,6 +42,17 @@ ENV_BLOCK = 1024
 # Largest table the kernel will take: (H, 4W) bf16 must leave VMEM room
 # for acc + one-hots. 512K texels = 4 MB table.
 MAX_TEXELS = 1 << 19
+# Fetch implementation (A/B'd on v5e, 1080p bench sky 256x512, 2M rays):
+#   "bf16"   — original: one 1024-ray chunk per grid step, (steps, 8, B)
+#              padded operand/result blocks (6 input + 5 output rows dead).
+#   "bf16x8" — EIGHT chunks per grid step: dense (steps8, 8, B) y/x operands
+#              and three dense r/g/b outputs — no pad concat XLA-side, no
+#              strided row extract; same bf16 MXU dots.
+#   "int8x8" — bf16x8 with the table and one-hots in int8 (bytes biased by
+#              -128, exact in int8; s32 accumulation then +128 restores the
+#              byte) — the v5e MXU runs int8 at 2x the bf16 rate, and the
+#              result stays BIT-identical to the gather path.
+ENV_IMPL = "int8x8"
 
 
 def usable(H: int, W: int) -> bool:
@@ -72,6 +83,90 @@ def _env_kernel(H, W, yx_ref, tab_ref, out_ref):
     out_ref[0, 1:2, :] = g * scale
     out_ref[0, 2:3, :] = b * scale
     out_ref[0, 3:8, :] = jnp.zeros((5, B), jnp.float32)
+
+
+def _env_kernel8(H, W, dtype, y_ref, x_ref, tab_ref, r_ref, g_ref, b_ref):
+    """Eight ray chunks per grid step: row j of every (1, 8, B) block is
+    chunk j. Operands and results are fully dense — no pad rows, no
+    XLA-side concat/strided-extract glue. ``dtype`` selects bf16 dots or
+    int8 dots with s32 accumulation (see ENV_IMPL)."""
+    B = y_ref.shape[-1]
+    int8 = dtype == jnp.int8
+    for j in range(8):
+        yn = y_ref[0, j:j + 1, :]                         # (1, B)
+        xn = x_ref[0, j:j + 1, :]
+        iy = jax.lax.broadcasted_iota(jnp.int32, (H, B), 0)
+        oh_y = (iy == yn).astype(dtype)                   # (H, B)
+        acc = jax.lax.dot_general(
+            tab_ref[:], oh_y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+        if int8:
+            def pick(p):
+                seg = acc[p * W:(p + 1) * W, :]           # (W, B) s32
+                sel = jnp.sum(jnp.where(ix == xn, seg, 0),
+                              axis=0, keepdims=True)      # (1, B)
+                # The winner is byte-128 (bias exact in int8; the one-hot
+                # dot sums exactly one product) — restore the byte.
+                return (sel + 128).astype(jnp.float32)
+        else:
+            oh_x = (ix == xn).astype(jnp.float32)
+
+            def pick(p):
+                seg = acc[p * W:(p + 1) * W, :]
+                return jnp.sum(seg * oh_x, axis=0, keepdims=True)
+
+        r, g, b, e = pick(0), pick(1), pick(2), pick(3)
+        scale = jnp.where(e > 0.0, jnp.exp2(e - 136.0), 0.0)
+        r_ref[0, j:j + 1, :] = r * scale
+        g_ref[0, j:j + 1, :] = g * scale
+        b_ref[0, j:j + 1, :] = b * scale
+
+
+def _byte_planes(packed, H, W, impl):
+    """(H, 4W) byte-plane table from the packed RGBE words — bf16 for the
+    bf16 impls (0-255 exact), biased int8 for int8x8 (byte-128 exact)."""
+    w = packed.reshape(H, W).astype(jnp.uint32)
+    planes = [(w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF, w >> 24]
+    if impl == "int8x8":
+        return jnp.concatenate(
+            [(p.astype(jnp.int32) - 128).astype(jnp.int8) for p in planes],
+            axis=1)
+    return jnp.concatenate([p.astype(jnp.bfloat16) for p in planes], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "interpret", "block", "impl"))
+def _env_lookup8(packed, yn, xn, H: int, W: int, interpret: bool = False,
+                 block: int = 0, impl: str = "int8x8"):
+    """Dense eight-chunk variant of :func:`_env_lookup` (see ENV_IMPL)."""
+    N = yn.shape[0]
+    B = block or ENV_BLOCK
+    n_pad = (-N) % (8 * B)
+    yn = jnp.pad(yn, (0, n_pad))
+    xn = jnp.pad(xn, (0, n_pad))
+    steps8 = (N + n_pad) // (8 * B)
+    y8 = yn.reshape(steps8, 8, B)
+    x8 = xn.reshape(steps8, 8, B)
+    tab = _byte_planes(packed, H, W, impl)
+    dtype = jnp.int8 if impl == "int8x8" else jnp.bfloat16
+
+    blk = pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((steps8, 8, B), jnp.float32)
+    r, g, b = pl.pallas_call(
+        functools.partial(_env_kernel8, H, W, dtype),
+        grid=(steps8,),
+        in_specs=[blk, blk,
+                  pl.BlockSpec((H, 4 * W), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(blk, blk, blk),
+        out_shape=(out, out, out),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(y8, x8, tab)
+    return (r.reshape(-1)[:N], g.reshape(-1)[:N], b.reshape(-1)[:N])
 
 
 @functools.partial(jax.jit,
@@ -122,13 +217,17 @@ def _env_lookup(packed, yn, xn, H: int, W: int, interpret: bool = False,
 
 
 def sample_skybox_rgbe_mxu(skybox_hw, packed, rd, u1, u2,
-                           interpret: bool = False, block: int = 0):
+                           interpret: bool = False, block: int = 0,
+                           impl: str = None):
     """Stochastic single-tap equirect RGBE lookup on the MXU.
 
     Same (y, x) texel choice as ``sample_skybox_rgbe(u1=, u2=)`` — the
     stochastic-bilinear corner pick happens XLA-side on the SAME uniforms,
     so the estimator stream is identical; only the fetch runs as one-hot
-    dots instead of a serial gather. Bit-identical to the gather path.
+    dots instead of a serial gather. Bit-identical to the gather path for
+    EVERY impl (ENV_IMPL): the one-hot dot sums exactly one exact product
+    (bytes 0-255 exact in bf16; byte-128 exact in int8 with s32
+    accumulation) and the decode matches ``_decode_rgbe`` op-for-op.
     """
     from .shade import _equirect_coords
 
@@ -137,6 +236,11 @@ def sample_skybox_rgbe_mxu(skybox_hw, packed, rd, u1, u2,
     yn = jnp.where(u1 < wy, y1, y0).astype(jnp.int32)
     xn = jnp.where(u2 < wx, x1, x0).astype(jnp.int32)
     shp = yn.shape
-    r, g, b = _env_lookup(packed, yn.reshape(-1), xn.reshape(-1), H, W,
-                          interpret=interpret, block=block)
+    impl = impl or ENV_IMPL
+    if impl in ("bf16x8", "int8x8"):
+        r, g, b = _env_lookup8(packed, yn.reshape(-1), xn.reshape(-1), H, W,
+                               interpret=interpret, block=block, impl=impl)
+    else:
+        r, g, b = _env_lookup(packed, yn.reshape(-1), xn.reshape(-1), H, W,
+                              interpret=interpret, block=block)
     return r.reshape(shp), g.reshape(shp), b.reshape(shp)
