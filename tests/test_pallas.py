@@ -463,6 +463,29 @@ def test_megakernel_group_pass_identity(flag, monkeypatch):
     np.testing.assert_array_equal(img0, img1)
 
 
+@pytest.mark.parametrize("rr_group", ["ray", "step"])
+def test_megakernel_batched_uniform_identity(rr_group, monkeypatch):
+    # UNI_BATCHED draws the uniform rows PIXEL-order and permutes them into
+    # the kernel layout with one fused stack+transpose; the values must be
+    # bit-identical to the per-row to_blocks path. W=128 makes Wg % 8 == 0
+    # and N % 1024 == 0, so the batched form actually engages (smaller
+    # widths fall back); bounces=5 keeps Russian roulette live (b=2,3) so
+    # the _rr_uniform row is covered under both group modes.
+    from unityraytracer_tpu import render as R
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=128 / 16)
+    cfg = RenderConfig(width=128, height=16, spp=1, bounces=5,
+                       tracer="pallas", rr_group=rr_group)
+    key = jax.random.key(11)
+    monkeypatch.setattr(R, "UNI_BATCHED", False)
+    img0 = np.asarray(R.render_sample_mega(SCENE, pa, cam, key, cfg))
+    monkeypatch.setattr(R, "UNI_BATCHED", True)
+    img1 = np.asarray(R.render_sample_mega(SCENE, pa, cam, key, cfg))
+    assert np.isfinite(img1).all() and img1.max() > 0
+    np.testing.assert_array_equal(img0, img1)
+
+
 @pytest.mark.parametrize("flag", ["PASS_PAIR", "PAIR_PIPE", "PASS_QUAD", "PASS_OCT"])
 def test_group_pass_multi_page(flag, monkeypatch):
     # (~25 s/case interpreted — unlike defer mode, group passes add no

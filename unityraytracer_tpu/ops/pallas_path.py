@@ -360,6 +360,7 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
     if energy0 is None:
         energy0 = tuple(jnp.ones((N,), jnp.float32) for _ in range(3))
     rows_form = isinstance(uni, (list, tuple))
+    steps_form = (not rows_form) and uni.ndim == 4
     if pad:
         zpad = jnp.zeros((pad,), jnp.float32)
         ro = tuple(jnp.concatenate([c, zpad]) for c in ro)
@@ -369,6 +370,7 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
         alive0 = jnp.concatenate([alive0, zpad])
         energy0 = tuple(jnp.concatenate([c, zpad]) for c in energy0)
         if not rows_form:
+            assert not steps_form, "steps-form uni requires N % BLOCK == 0"
             uni = jnp.concatenate(
                 [uni, jnp.zeros((nb, 5, pad), jnp.float32)], axis=2)
     Np = N + pad
@@ -384,7 +386,13 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
     # — the round-3/4 relayout attempts (one fetch per step + in-kernel
     # dynamic slice) either failed Mosaic alignment (5*b) or measured an
     # ~8 ms/frame LOSS (8-aligned ds8(8, b, 8)); see the kernel comment.
-    if rows_form:
+    if steps_form:
+        # Pre-assembled kernel layout (render_sample_mega's batched
+        # pixel-order path: one stack + ONE fused block transpose instead
+        # of a per-row to_blocks transpose each).
+        assert uni.shape == (n_steps, nb, 8, B), uni.shape
+        uni_steps = uni
+    elif rows_form:
         # Rows arrive unstacked: assemble the kernel layout with ONE stack
         # so XLA writes the buffer once (no (nb, 5, N) intermediate, no pad
         # op, no transpose — the uniform pipeline measured 35.8 -> 28.5 ms

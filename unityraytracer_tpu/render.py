@@ -33,6 +33,17 @@ from .ops import trace as trace_ops
 from .scene import Scene
 
 
+# Megakernel uniform-row assembly: True = draw the per-bounce rows in PIXEL
+# order and permute them into the (n_steps, nb, 8, B) kernel layout with one
+# fused stack+transpose; False = permute each row with to_blocks and let
+# path_trace stack them. Values are bit-identical either way (tested).
+# MEASURED on v5e (1080p/100k/8b bench): True LOSES 43 ms/frame (194.2 vs
+# 150.9) — XLA lowers the single 8-D 530 MB permute far worse than the 27
+# small per-row block transposes it replaces. Ships OFF; kept (with its
+# identity test) as the documented dead end.
+UNI_BATCHED = False
+
+
 @struct.dataclass
 class RenderState:
     """Progressive accumulation state (the _converged texture + _currentSample)."""
@@ -426,21 +437,25 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
         def to_blocks(a):
             return a
 
-    def uniform(key_):
+    def uniform(key_, tb=None):
         # Pixel-order draw, permuted with the rays (render_sample rationale).
-        return to_blocks(jax.random.uniform(key_, (N,)))
+        return (tb or to_blocks)(jax.random.uniform(key_, (N,)))
 
     # Per-bounce uniform rows, pre-transformed for the kernel: Mosaic's
     # pow/sin/cos lowerings are slow, but log2(u1) / cos(2*pi*u2) /
     # sin(2*pi*u2) are pure functions of the SAME threefry draws — computed
     # here by the SAME XLA ops the bounce-loop path uses, keeping the
-    # megakernel's estimator stream-identical to the oracle's.
-    def bounce_rows(b):
+    # megakernel's estimator stream-identical to the oracle's. ``tb``
+    # permutes each row into ray (block) order; the batched path below
+    # passes identity and permutes ALL rows with one fused transpose
+    # instead — same values either way.
+    def bounce_rows(b, tb=None):
         kb = jax.random.fold_in(k_bounce, b)
-        u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i)) for i in range(3))
+        u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i), tb)
+                       for i in range(3))
         if cfg.russian_roulette and 2 <= b < cfg.bounces - 1:
             u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
-                               row0, to_blocks)
+                               row0, tb or to_blocks)
         else:
             # The kernel's RR block is a no-op outside the active bounce
             # range — skip the threefry draw (XLA generates every uniform
@@ -450,12 +465,31 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
         return [u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
                 jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr]
 
-    # Rows stay UNSTACKED: path_trace assembles its (n_steps, nb, 8, B)
-    # kernel layout with one stack (measured 7.3 ms/frame cheaper than
-    # stack -> pad -> transpose at 1080p x 8 bounces); only the bounce-split
-    # driver, which gathers uniform rows by ray index, needs the dense
-    # (bounces, 5, N) form.
-    uni_rows = [bounce_rows(b) for b in range(cfg.bounces)]
+    def batch_uni_steps():
+        """Assemble path_trace's (n_steps, nb, 8, B) uniform layout from
+        PIXEL-order rows with one stack + ONE fused block transpose, instead
+        of a per-row ``to_blocks`` transpose each (27 rows at 1080p x 8
+        bounces). Bit-identical values — only the op schedule changes.
+        Returns None when the blocked layout doesn't tile the step size.
+        MEASURED LOSS on v5e (see UNI_BATCHED): the one 8-D permute costs
+        ~43 ms/frame more than the per-row transposes — don't re-enable
+        without re-measuring a materially different lowering."""
+        from .ops.pallas_trace import BLOCK, TILE
+
+        nb = cfg.bounces
+        tps = BLOCK // TILE                      # tiles (128 rays) per step
+        Wg = W // 16
+        if not blocked or Wg % tps or (N % BLOCK) or TILE != 128:
+            return None
+        ident = lambda a: a
+        z = jnp.zeros((N,), jnp.float32)
+        flat = []
+        for b in range(nb):
+            flat += bounce_rows(b, ident) + [z, z, z]
+        U = jnp.stack(flat, axis=0)              # (nb*8, N) pixel order
+        U = U.reshape(nb, 8, spp, h // 8, 8, Wg // tps, tps, 16)
+        return (U.transpose(2, 3, 5, 0, 1, 6, 4, 7)
+                .reshape(N // BLOCK, nb, 8, BLOCK))
 
     if cfg.sky_rgbe:
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
@@ -466,11 +500,18 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
 
     sb = cfg.split_bounce
     if sb is not None and 0 < sb < cfg.bounces:
+        uni_rows = [bounce_rows(b) for b in range(cfg.bounces)]
         uni = jnp.stack([jnp.stack(r, axis=0) for r in uni_rows], axis=0)
         radiance, sky_e, sky_d = _path_trace_split(
             scene, accel, ro, rd, uni, su1, su2, cfg, interpret, sb)
     else:
-        radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni_rows, cfg,
+        uni_arg = batch_uni_steps() if UNI_BATCHED else None
+        if uni_arg is None:
+            # Rows stay UNSTACKED: path_trace assembles the kernel layout
+            # with one stack (measured 7.3 ms/frame cheaper than
+            # stack -> pad -> transpose at 1080p x 8 bounces).
+            uni_arg = [bounce_rows(b) for b in range(cfg.bounces)]
+        radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni_arg, cfg,
                                             interpret)
 
     sky = _env_tap(scene, cfg, sky_d, su1, su2, interpret=interpret)
