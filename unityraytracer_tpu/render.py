@@ -42,6 +42,18 @@ from .scene import Scene
 # small per-row block transposes it replaces. Ships OFF; kept (with its
 # identity test) as the documented dead end.
 UNI_BATCHED = False
+# Megakernel ray layout: True = permute rays (and every per-ray uniform row)
+# into 8x16 pixel blocks host-side, so each 128-ray kernel tile covers a
+# compact image patch (to_blocks/from_blocks transposes, ~42 rows/frame at
+# 1080p x 8 bounces); False = keep linear row-major order (each tile is a
+# 1x128 pixel strip) — zero transposes, but wider per-tile direction cones
+# for bounce-0 culling. The in-kernel coherence binning re-sorts rays within
+# each 1024-ray window either way. MEASURED on v5e (1080p/100k/8b bench):
+# False LOSES ~34 ms/frame (186.1-187.6 ms / 88.5-89.1 Mrays/s vs 152.4 /
+# 108.9 blocked) — 2D pixel locality beats the transpose cost; the 1x128
+# strips blow up the bounce-0 per-tile direction/origin cones and culling
+# admits far more clusters. Ships ON; flag kept as the documented dead end.
+MEGA_BLOCKED = True
 
 
 @struct.dataclass
@@ -425,7 +437,7 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
     lens_u, lens_v = sample_unit_disk(lu1, lu2)
     ro, rd = camera_rays_soa(camera, u, v, lens_u, lens_v)
 
-    blocked = h % 8 == 0 and W % 16 == 0
+    blocked = MEGA_BLOCKED and h % 8 == 0 and W % 16 == 0
     if blocked:
         def to_blocks(a):
             return (a.reshape(spp, h // 8, 8, W // 16, 16)
