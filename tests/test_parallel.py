@@ -161,10 +161,68 @@ def test_scene_sharding_accel_is_sharded_and_smaller():
     assert any("devices" in s for s in shardings)
 
 
-def test_scene_sharding_rejects_pallas():
+def test_scene_sharding_pallas_matches_single_device():
+    """mode="scene" + tracer="pallas": 1/n of the triangles per device
+    through the PER-BOUNCE Pallas kernel (the closest-hit all-reduce is a
+    per-bounce collective, so the full-path megakernel can't serve this
+    mode), min-combined across the mesh. The estimator is stream-identical
+    to the single-device render, so the result must pass the cross-tracer
+    RMSE gate against it."""
+    from unityraytracer_tpu.utils.image import rmse
+
+    scene = _mesh_scene()
+    cfg = CFG.replace(tracer="pallas", bounces=3)
+    cam = Camera.create(position=(0, 10, -30), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    r_sh = ShardedRenderer(scene, cam, cfg, seed=4, mode="scene").step(2)
+    r_1 = Renderer(scene, cam, cfg, seed=4).step(2)
+    assert np.isfinite(r_sh.image).all()
+    assert r_sh.image.max() > 0.05
+    assert rmse(r_sh.image, r_1.image) < 1e-3
+
+
+def test_scene_sharding_pallas_accels_are_sharded():
+    """Each device packs only its Morton chunk: the stacked PallasAccel has
+    a leading device axis, per-shard geometry blocks are strictly smaller
+    than the whole-scene pack, and the normalized statics stack into ONE
+    treedef."""
+    from unityraytracer_tpu.ops.pallas_trace import (PallasAccel,
+                                                     prepare_pallas_accel)
+    from unityraytracer_tpu.parallel.scene_shard import (
+        shard_scene_pallas_accels)
+
+    from unityraytracer_tpu.ops.pallas_trace import PallasVmemError
+
+    # THE capability this mode buys: a scene past the single-chip
+    # scoped-VMEM ceiling packs fine as 1/n chunks across the mesh.
+    scene = _mesh_scene(140_000)
+    cfg = CFG.replace(tracer="pallas")
+    mesh = make_mesh()
+    n = mesh.shape["devices"]
+    with pytest.raises(PallasVmemError):
+        prepare_pallas_accel(scene.triangles, scene.materials, scene=scene)
+    stacked = shard_scene_pallas_accels(scene, cfg, n)
+    assert isinstance(stacked, PallasAccel)
+    assert stacked.epluck.shape[0] == n
+    # Global scene bbox rides every shard (binning quantization sees rays
+    # spanning the whole scene on each device).
+    for lo_got, lo_exp in zip(stacked.bbox[:3],
+                              np.minimum(np.minimum(
+                                  np.asarray(scene.triangles.v0),
+                                  np.asarray(scene.triangles.v1)),
+                                  np.asarray(scene.triangles.v2)).min(0)):
+        assert abs(lo_got - float(lo_exp)) < 1e-5
+
+    r = ShardedRenderer(_mesh_scene(), CAM, cfg, seed=0, mode="scene")
+    shardings = {str(l.sharding)
+                 for l in jax.tree_util.tree_leaves(r.accel)}
+    assert any("devices" in s for s in shardings)
+
+
+def test_scene_sharding_rejects_brute():
     scene = _mesh_scene(100)
     with pytest.raises(ValueError, match="scene sharding"):
-        ShardedRenderer(scene, CAM, CFG.replace(tracer="pallas"),
+        ShardedRenderer(scene, CAM, CFG.replace(tracer="brute"),
                         seed=0, mode="scene").step(1)
 
 

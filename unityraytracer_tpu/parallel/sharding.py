@@ -17,10 +17,13 @@ one thread per pixel within a dispatch. The TPU-native scale-out axes are:
   SampleScene.unity:434).
 
 * **Scene ("scene") sharding** — each device holds 1/n of the TRIANGLES
-  (Morton-contiguous chunk + its own LBVH; see parallel/scene_shard.py),
-  traces all rays against its sub-scene, and one packed all-reduce per
-  bounce picks the global closest hit. The tensor-parallel axis: per-device
-  accel memory scales 1/n, for scenes one chip's HBM can't hold.
+  (Morton-contiguous chunk; see parallel/scene_shard.py), traces all rays
+  against its sub-scene, and one packed all-reduce per bounce picks the
+  global closest hit. The tensor-parallel axis: per-device accel memory
+  scales 1/n. With tracer="pallas" the chunks pack as VMEM-resident kernel
+  accels (per-bounce Pallas path — the single-chip ~150k-triangle VMEM
+  ceiling scales n× with the mesh); with cluster/bvh they are HBM-resident
+  LBVHs for scenes past even one chip's HBM.
 
 Both are expressed with ``jax.shard_map`` over a 1-D device mesh so the same
 step function jits on 1 chip, a v5e pod slice, or a CPU mesh of virtual
@@ -107,11 +110,14 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
     elif mode == "scene":
         from .scene_shard import local_accel, make_scene_sharded_tracer
 
-        if cfg.tracer not in ("cluster", "bvh"):
+        if cfg.tracer not in ("cluster", "bvh", "pallas"):
             raise ValueError(
-                "scene sharding traces through the HBM-resident cluster/bvh "
-                f"tracers (got tracer={cfg.tracer!r}); the Pallas megakernel "
-                "requires the whole scene VMEM-resident per chip")
+                "scene sharding traces per-shard accels (got "
+                f"tracer={cfg.tracer!r}); use cluster/bvh (HBM-resident "
+                "LBVH shards) or pallas (VMEM-resident kernel shards — the "
+                "PER-BOUNCE kernel, since the closest-hit all-reduce is a "
+                "per-bounce collective and cannot live inside the "
+                "full-path megakernel)")
 
         def local_step(accum, n_samples, scene, camera, accel, key):
             # SAME key on every device: shading/RNG replicate, tracing is
@@ -168,10 +174,27 @@ class ShardedRenderer:
         if mode == "scene":
             # Tensor-parallel axis: 1/n of the triangles (and accel) per
             # device. Host build -> ONE scatter device_put.
-            from .scene_shard import shard_scene_accels
+            from .scene_shard import (shard_scene_accels,
+                                      shard_scene_pallas_accels)
             if accel is None:
-                accel = shard_scene_accels(scene, config,
-                                           self.mesh.shape[AXIS])
+                if config.tracer == "pallas":
+                    from ..ops.pallas_trace import PallasVmemError
+                    try:
+                        accel = shard_scene_pallas_accels(
+                            scene, config, self.mesh.shape[AXIS])
+                    except PallasVmemError as e:
+                        # 1/n chunk still over the scoped-VMEM ceiling:
+                        # serve tracer="pallas" through HBM-resident
+                        # cluster shards (make_accel_tracer routes traced
+                        # ClusterAccels to the cluster path) — same
+                        # graceful degrade as the single-chip renderer.
+                        from ..utils.logging import get_logger
+                        get_logger().warn(f"scene shards: {e}")
+                        accel = shard_scene_accels(scene, config,
+                                                   self.mesh.shape[AXIS])
+                else:
+                    accel = shard_scene_accels(scene, config,
+                                               self.mesh.shape[AXIS])
             self.accel = jax.device_put(accel,
                                         NamedSharding(self.mesh, P(AXIS)))
         else:
