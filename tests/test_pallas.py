@@ -464,13 +464,13 @@ def test_megakernel_group_pass_identity(flag, monkeypatch):
 
 
 @pytest.mark.parametrize("rr_group", ["ray", "step"])
-def test_megakernel_batched_uniform_identity(rr_group, monkeypatch):
-    # UNI_BATCHED draws the uniform rows PIXEL-order and permutes them into
-    # the kernel layout with one fused stack+transpose; the values must be
-    # bit-identical to the per-row to_blocks path. W=128 makes Wg % 8 == 0
-    # and N % 1024 == 0, so the batched form actually engages (smaller
-    # widths fall back); bounces=5 keeps Russian roulette live (b=2,3) so
-    # the _rr_uniform row is covered under both group modes.
+def test_megakernel_draw_convention_layout_identity(rr_group, monkeypatch):
+    # The canonical per-ray draw assignment (_draw_fn: pixel p's draw =
+    # flat element at p's BLOCK slot) is a property of (h, W, spp), NOT of
+    # the ray layout — so the blocked megakernel (native draws, zero
+    # relayout ops) and the linear-ray megakernel (draws permuted to pixel
+    # order) must render IDENTICAL images. bounces=5 keeps Russian roulette
+    # live (b=2,3) so the _rr_uniform row is covered under both group modes.
     from unityraytracer_tpu import render as R
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
     cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
@@ -478,12 +478,36 @@ def test_megakernel_batched_uniform_identity(rr_group, monkeypatch):
     cfg = RenderConfig(width=128, height=16, spp=1, bounces=5,
                        tracer="pallas", rr_group=rr_group)
     key = jax.random.key(11)
-    monkeypatch.setattr(R, "UNI_BATCHED", False)
+    monkeypatch.setattr(R, "MEGA_BLOCKED", True)
     img0 = np.asarray(R.render_sample_mega(SCENE, pa, cam, key, cfg))
-    monkeypatch.setattr(R, "UNI_BATCHED", True)
+    monkeypatch.setattr(R, "MEGA_BLOCKED", False)
     img1 = np.asarray(R.render_sample_mega(SCENE, pa, cam, key, cfg))
     assert np.isfinite(img1).all() and img1.max() > 0
-    np.testing.assert_array_equal(img0, img1)
+    np.testing.assert_allclose(img0, img1, atol=1e-5)
+
+
+def test_ray_lattice_matches_block_permute():
+    # _ray_lattice's blocked iota arithmetic must equal to_blocks() of the
+    # pixel-order lattice — the zero-copy replacement for the six ro/rd
+    # component transposes.
+    from unityraytracer_tpu.render import _draw_fn, _ray_lattice
+    spp, h, W = 2, 16, 32
+    px_b, row_b = _ray_lattice(h, W, spp, blocked=True)
+    px_p, row_p = _ray_lattice(h, W, spp, blocked=False)
+
+    def to_blocks(a):
+        return np.asarray(a).reshape(spp, h // 8, 8, W // 16, 16) \
+            .transpose(0, 1, 3, 2, 4).reshape(spp * h * W)
+
+    np.testing.assert_array_equal(np.asarray(px_b), to_blocks(px_p))
+    np.testing.assert_array_equal(np.asarray(row_b), to_blocks(row_p))
+    # And _draw_fn's pixel-order permute is exactly from_blocks: pixel p
+    # reads the flat draw at p's block slot.
+    u = np.arange(spp * h * W, dtype=np.float32)
+    got = np.asarray(_draw_fn(h, W, spp, blocked=False)(jnp.asarray(u)))
+    slot = np.empty_like(u)
+    slot[to_blocks(np.arange(spp * h * W))] = u  # value at pixel p = u[bslot(p)]
+    np.testing.assert_array_equal(got, slot)
 
 
 @pytest.mark.parametrize("flag", ["PASS_PAIR", "PAIR_PIPE", "PASS_QUAD", "PASS_OCT"])

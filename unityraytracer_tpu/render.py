@@ -33,26 +33,19 @@ from .ops import trace as trace_ops
 from .scene import Scene
 
 
-# Megakernel uniform-row assembly: True = draw the per-bounce rows in PIXEL
-# order and permute them into the (n_steps, nb, 8, B) kernel layout with one
-# fused stack+transpose; False = permute each row with to_blocks and let
-# path_trace stack them. Values are bit-identical either way (tested).
-# MEASURED on v5e (1080p/100k/8b bench): True LOSES 43 ms/frame (194.2 vs
-# 150.9) — XLA lowers the single 8-D 530 MB permute far worse than the 27
-# small per-row block transposes it replaces. Ships OFF; kept (with its
-# identity test) as the documented dead end.
-UNI_BATCHED = False
-# Megakernel ray layout: True = permute rays (and every per-ray uniform row)
-# into 8x16 pixel blocks host-side, so each 128-ray kernel tile covers a
-# compact image patch (to_blocks/from_blocks transposes, ~42 rows/frame at
-# 1080p x 8 bounces); False = keep linear row-major order (each tile is a
-# 1x128 pixel strip) — zero transposes, but wider per-tile direction cones
-# for bounce-0 culling. The in-kernel coherence binning re-sorts rays within
-# each 1024-ray window either way. MEASURED on v5e (1080p/100k/8b bench):
-# False LOSES ~34 ms/frame (186.1-187.6 ms / 88.5-89.1 Mrays/s vs 152.4 /
-# 108.9 blocked) — 2D pixel locality beats the transpose cost; the 1x128
-# strips blow up the bounce-0 per-tile direction/origin cones and culling
-# admits far more clusters. Ships ON; flag kept as the documented dead end.
+# Megakernel ray layout: True = rays traverse in 8x16 pixel-block order, so
+# each 128-ray kernel tile covers a compact image patch; False = linear
+# row-major order (each tile is a 1x128 pixel strip) — wider per-tile
+# direction cones for bounce-0 culling. The in-kernel coherence binning
+# re-sorts rays within each 1024-ray window either way. MEASURED on v5e
+# (1080p/100k/8b bench): False LOSES ~34 ms/frame (186.1-187.6 ms /
+# 88.5-89.1 Mrays/s vs 152.4 / 108.9 blocked) — 2D pixel locality wins; the
+# 1x128 strips blow up the bounce-0 per-tile direction/origin cones and
+# culling admits far more clusters. Ships ON; flag kept as the documented
+# dead end. (Historical: a third assembly — UNI_BATCHED, pixel-order rows +
+# one fused 8-D permute — measured a 43 ms/frame LOSS vs per-row block
+# transposes; both are superseded by the block-NATIVE draw convention in
+# _draw_fn, which needs no uniform-row relayout ops at all.)
 MEGA_BLOCKED = True
 
 
@@ -109,6 +102,49 @@ def _rr_uniform(key, cfg: RenderConfig, spp: int, h: int, W: int,
     return to_blocks(band[:, :, :W].reshape(N))
 
 
+def _ray_lattice(h: int, W: int, spp: int, blocked: bool):
+    """Per-ray pixel coordinates (px, row-in-band) as flat (N,) int32 in
+    RAY-LAYOUT order: 8x16 pixel-block order when ``blocked``, row-major
+    pixel order otherwise. Pure iota arithmetic — it fuses into the
+    camera-ray elementwise chain, replacing the old pixel-order lattice +
+    six per-component ``to_blocks`` transposes (~0.85 ms/frame at 1080p)."""
+    N = spp * h * W
+    n = jnp.arange(N, dtype=jnp.int32)
+    if blocked:
+        w16 = W // 16
+        px = (n // 128) % w16 * 16 + n % 16
+        row = (n // (128 * w16)) % (h // 8) * 8 + (n // 16) % 8
+    else:
+        px = n % W
+        row = (n // W) % h
+    return px, row
+
+
+def _draw_fn(h: int, W: int, spp: int, blocked: bool):
+    """Canonical per-ray uniform assignment, shared by every tracer path.
+
+    At sizes that tile into 8x16 pixel blocks, pixel p's draw is the flat
+    threefry/rbg element at p's BLOCK slot — the megakernel's native ray
+    order — so the flagship path consumes every uniform row with ZERO
+    relayout ops (the pixel-order convention cost ~35 strided ~0.1-0.15 ms
+    block transposes per frame at 1080p x 8 bounces, ~5 ms — the profiler's
+    whole "copy" stage). The permute moves to the PIXEL-order paths (the
+    brute/cluster oracles), where it is a test-time cost. Returns
+    ``f(flat_draw) -> draw in ray-layout order``. Non-tiling sizes keep the
+    pixel-order assignment everywhere. Either way the assignment is a
+    bijection fixed by (h, W, spp) alone, so the estimator is unbiased and
+    all tracers stay stream-identical (render_sample's ``uniform``
+    rationale)."""
+    N = spp * h * W
+    if blocked or not (h % 8 == 0 and W % 16 == 0):
+        return lambda a: a
+    def to_pixel_order(a):
+        # pixel p's value = flat_draw[block_slot(p)]
+        return (a.reshape(spp, h // 8, W // 16, 8, 16)
+                .transpose(0, 1, 3, 2, 4).reshape(N))
+    return to_pixel_order
+
+
 def _env_tap(scene: Scene, cfg: RenderConfig, sky_d, su1, su2,
              interpret: Optional[bool] = None):
     """Once-per-frame environment resolve for the recorded miss directions.
@@ -157,51 +193,48 @@ def render_sample(scene: Scene, tracer: Callable, camera: Camera, key,
 
     k_jit, k_lens, k_bounce = jax.random.split(key, 3)
 
+    # Tile coherence: the Pallas tracer processes rays in fixed 128-ray tiles,
+    # and its cluster culling is per-tile — 8x16 PIXEL blocks keep a tile's
+    # rays spatially compact (row-major order would make 128x1 slivers that
+    # span the scene and defeat culling). Rays are GENERATED in block order
+    # (lattice index math, no permute op); radiance is un-permuted at the end.
+    blocked = cfg.tracer == "pallas" and h % 8 == 0 and W % 16 == 0
+    draw = _draw_fn(h, W, spp, blocked)
+
     # Pixel lattice: output row r (top-down) is pixel row py = H-1-r counted
     # bottom-up (NDC v points up). All ray state is component-SoA (N,) arrays
     # (see ops/vec.py: stacked (N, 3) buffers force 128x-padded TPU layouts).
-    px = jnp.broadcast_to(jnp.arange(W)[None, None, :], (spp, h, W))
-    py = jnp.broadcast_to((H - 1 - (row0 + jnp.arange(h)))[None, :, None],
-                          (spp, h, W))
-    jx = jax.random.uniform(jax.random.fold_in(k_jit, 0), (spp, h, W))
-    jy = jax.random.uniform(jax.random.fold_in(k_jit, 1), (spp, h, W))
-    u = ((px.astype(jnp.float32) + jx) / W * 2.0 - 1.0).reshape(N)
-    v = ((py.astype(jnp.float32) + jy) / H * 2.0 - 1.0).reshape(N)
+    px, prow = _ray_lattice(h, W, spp, blocked)
+    py = (H - 1) - (row0 + prow)
+    jx = draw(jax.random.uniform(jax.random.fold_in(k_jit, 0), (N,)))
+    jy = draw(jax.random.uniform(jax.random.fold_in(k_jit, 1), (N,)))
+    u = (px.astype(jnp.float32) + jx) / W * 2.0 - 1.0
+    v = (py.astype(jnp.float32) + jy) / H * 2.0 - 1.0
 
     # Thin-lens offsets are generated unconditionally (cheap) and are a no-op
     # when aperture == 0; keeps the traced graph static across camera params.
-    lu1 = jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,))
-    lu2 = jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,))
+    lu1 = draw(jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,)))
+    lu2 = draw(jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,)))
     lens_u, lens_v = sample_unit_disk(lu1, lu2)
 
     ro, rd = camera_rays_soa(camera, u, v, lens_u, lens_v)
 
-    # Tile coherence: the Pallas tracer processes rays in fixed 128-ray tiles,
-    # and its cluster culling is per-tile — 8x16 PIXEL blocks keep a tile's
-    # rays spatially compact (row-major order would make 128x1 slivers that
-    # span the scene and defeat culling). Permute rays into block order here,
-    # un-permute radiance at the end.
-    blocked = cfg.tracer == "pallas" and h % 8 == 0 and W % 16 == 0
     if blocked:
-        # Reorder via pure TRANSPOSES (cheap relayouts) — index-based
-        # permutation gathers would cost ~18-46 ms each on TPU.
+        # Layout permute (pixel order -> ray order), still used by
+        # _rr_uniform's absolute-coordinate group construction.
         def to_blocks(a):
             return (a.reshape(spp, h // 8, 8, W // 16, 16)
                     .transpose(0, 1, 3, 2, 4).reshape(N))
-
-        ro = tuple(to_blocks(c.reshape(spp, h, W)) for c in ro)
-        rd = tuple(to_blocks(c.reshape(spp, h, W)) for c in rd)
     else:
         def to_blocks(a):
             return a
 
-    def uniform(key_, shape=(N,)):
-        # Every per-ray uniform is drawn in PIXEL order and permuted with the
-        # rays: the estimator is then IDENTICAL across tracers and blocking
-        # modes (pixel p consumes the same random stream everywhere), so
-        # golden tests compare the Pallas path against the brute oracle at
-        # float precision instead of Monte-Carlo noise.
-        return to_blocks(jax.random.uniform(key_, shape))
+    def uniform(key_):
+        # Every per-ray uniform follows the canonical _draw_fn assignment:
+        # pixel p consumes the same random stream in every tracer and every
+        # ray layout, so golden tests compare the Pallas path against the
+        # brute oracle at float precision instead of Monte-Carlo noise.
+        return draw(jax.random.uniform(key_, (N,)))
 
     one = jnp.ones((N,), jnp.float32)
     zero = jnp.zeros((N,), jnp.float32)
@@ -425,49 +458,46 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
     N = h * W * spp
 
     k_jit, k_lens, k_bounce = jax.random.split(key, 3)
-    px = jnp.broadcast_to(jnp.arange(W)[None, None, :], (spp, h, W))
-    py = jnp.broadcast_to((H - 1 - (row0 + jnp.arange(h)))[None, :, None],
-                          (spp, h, W))
-    jx = jax.random.uniform(jax.random.fold_in(k_jit, 0), (spp, h, W))
-    jy = jax.random.uniform(jax.random.fold_in(k_jit, 1), (spp, h, W))
-    u = ((px.astype(jnp.float32) + jx) / W * 2.0 - 1.0).reshape(N)
-    v = ((py.astype(jnp.float32) + jy) / H * 2.0 - 1.0).reshape(N)
-    lu1 = jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,))
-    lu2 = jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,))
+    blocked = MEGA_BLOCKED and h % 8 == 0 and W % 16 == 0
+    draw = _draw_fn(h, W, spp, blocked)
+    px, prow = _ray_lattice(h, W, spp, blocked)
+    py = (H - 1) - (row0 + prow)
+    jx = draw(jax.random.uniform(jax.random.fold_in(k_jit, 0), (N,)))
+    jy = draw(jax.random.uniform(jax.random.fold_in(k_jit, 1), (N,)))
+    u = (px.astype(jnp.float32) + jx) / W * 2.0 - 1.0
+    v = (py.astype(jnp.float32) + jy) / H * 2.0 - 1.0
+    lu1 = draw(jax.random.uniform(jax.random.fold_in(k_lens, 0), (N,)))
+    lu2 = draw(jax.random.uniform(jax.random.fold_in(k_lens, 1), (N,)))
     lens_u, lens_v = sample_unit_disk(lu1, lu2)
     ro, rd = camera_rays_soa(camera, u, v, lens_u, lens_v)
 
-    blocked = MEGA_BLOCKED and h % 8 == 0 and W % 16 == 0
     if blocked:
+        # Layout permute (pixel order -> ray order), used by _rr_uniform's
+        # absolute-coordinate group construction only — every per-ray draw
+        # is block-NATIVE via _draw_fn (zero relayout ops).
         def to_blocks(a):
             return (a.reshape(spp, h // 8, 8, W // 16, 16)
                     .transpose(0, 1, 3, 2, 4).reshape(N))
-
-        ro = tuple(to_blocks(c.reshape(spp, h, W)) for c in ro)
-        rd = tuple(to_blocks(c.reshape(spp, h, W)) for c in rd)
     else:
         def to_blocks(a):
             return a
 
-    def uniform(key_, tb=None):
-        # Pixel-order draw, permuted with the rays (render_sample rationale).
-        return (tb or to_blocks)(jax.random.uniform(key_, (N,)))
+    def uniform(key_):
+        # Canonical _draw_fn assignment (render_sample rationale).
+        return draw(jax.random.uniform(key_, (N,)))
 
     # Per-bounce uniform rows, pre-transformed for the kernel: Mosaic's
     # pow/sin/cos lowerings are slow, but log2(u1) / cos(2*pi*u2) /
     # sin(2*pi*u2) are pure functions of the SAME threefry draws — computed
     # here by the SAME XLA ops the bounce-loop path uses, keeping the
-    # megakernel's estimator stream-identical to the oracle's. ``tb``
-    # permutes each row into ray (block) order; the batched path below
-    # passes identity and permutes ALL rows with one fused transpose
-    # instead — same values either way.
-    def bounce_rows(b, tb=None):
+    # megakernel's estimator stream-identical to the oracle's. The draws
+    # are block-native (_draw_fn), so no row is ever relaid.
+    def bounce_rows(b):
         kb = jax.random.fold_in(k_bounce, b)
-        u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i), tb)
-                       for i in range(3))
+        u_r, u1, u2 = (uniform(jax.random.fold_in(kb, i)) for i in range(3))
         if cfg.russian_roulette and 2 <= b < cfg.bounces - 1:
             u_rr = _rr_uniform(jax.random.fold_in(kb, 3), cfg, spp, h, W,
-                               row0, tb or to_blocks)
+                               row0, to_blocks)
         else:
             # The kernel's RR block is a no-op outside the active bounce
             # range — skip the threefry draw (XLA generates every uniform
@@ -476,32 +506,6 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
         two_pi = 2.0 * 3.14159265
         return [u_r, jnp.log2(jnp.maximum(u1, 1e-12)),
                 jnp.cos(two_pi * u2), jnp.sin(two_pi * u2), u_rr]
-
-    def batch_uni_steps():
-        """Assemble path_trace's (n_steps, nb, 8, B) uniform layout from
-        PIXEL-order rows with one stack + ONE fused block transpose, instead
-        of a per-row ``to_blocks`` transpose each (27 rows at 1080p x 8
-        bounces). Bit-identical values — only the op schedule changes.
-        Returns None when the blocked layout doesn't tile the step size.
-        MEASURED LOSS on v5e (see UNI_BATCHED): the one 8-D permute costs
-        ~43 ms/frame more than the per-row transposes — don't re-enable
-        without re-measuring a materially different lowering."""
-        from .ops.pallas_trace import BLOCK, TILE
-
-        nb = cfg.bounces
-        tps = BLOCK // TILE                      # tiles (128 rays) per step
-        Wg = W // 16
-        if not blocked or Wg % tps or (N % BLOCK) or TILE != 128:
-            return None
-        ident = lambda a: a
-        z = jnp.zeros((N,), jnp.float32)
-        flat = []
-        for b in range(nb):
-            flat += bounce_rows(b, ident) + [z, z, z]
-        U = jnp.stack(flat, axis=0)              # (nb*8, N) pixel order
-        U = U.reshape(nb, 8, spp, h // 8, 8, Wg // tps, tps, 16)
-        return (U.transpose(2, 3, 5, 0, 1, 6, 4, 7)
-                .reshape(N // BLOCK, nb, 8, BLOCK))
 
     if cfg.sky_rgbe:
         ks = jax.random.fold_in(k_bounce, cfg.bounces)
@@ -517,12 +521,10 @@ def render_sample_mega(scene: Scene, accel, camera: Camera, key,
         radiance, sky_e, sky_d = _path_trace_split(
             scene, accel, ro, rd, uni, su1, su2, cfg, interpret, sb)
     else:
-        uni_arg = batch_uni_steps() if UNI_BATCHED else None
-        if uni_arg is None:
-            # Rows stay UNSTACKED: path_trace assembles the kernel layout
-            # with one stack (measured 7.3 ms/frame cheaper than
-            # stack -> pad -> transpose at 1080p x 8 bounces).
-            uni_arg = [bounce_rows(b) for b in range(cfg.bounces)]
+        # Rows stay UNSTACKED: path_trace assembles the kernel layout
+        # with one stack (measured 7.3 ms/frame cheaper than
+        # stack -> pad -> transpose at 1080p x 8 bounces).
+        uni_arg = [bounce_rows(b) for b in range(cfg.bounces)]
         radiance, sky_e, sky_d = path_trace(accel, ro, rd, uni_arg, cfg,
                                             interpret)
 
