@@ -729,3 +729,60 @@ def test_sharded_accel_mid_tier_end_to_end(monkeypatch):
     rb = Renderer(SCENE, cam, cfg.replace(tracer="brute"), seed=0).step(2)
     np.testing.assert_allclose(img_sh, np.asarray(rb.state.accum),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_page_sort_matches_brute(monkeypatch):
+    # PAGE_SORT permutes clusters within pages at prep (visitation order
+    # only — the kernel resolves attributes internally), so traced hits
+    # must match the oracle exactly like the unsorted layout does.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PAGE_SORT", True)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials)
+    ro, rd = _rays(2 * TILE + 19, seed=21)
+    _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+def test_page_sort_prep_invariants():
+    # Structural check on a real multi-page accel (no tracing — prep is
+    # host numpy): the sort must (a) keep every page's cluster SET intact,
+    # (b) keep page bounds bit-identical, and (c) leave each page's
+    # clusters monotone along the axis it chose (the whole point: ascending
+    # index == monotone spatial sweep for the asc/desc visit flags).
+    from unityraytracer_tpu.models import fixtures
+    from unityraytracer_tpu.ops import pallas_trace as pt
+
+    tris = fixtures.bench_scene(n_tris=40_000).triangles
+    pa0 = prepare_pallas_accel(tris, page_sort=False)
+    pa1 = prepare_pallas_accel(tris, page_sort=True)
+    assert pa1.n_pages == pa0.n_pages and pa1.n_pages >= 2
+    for a, b in zip(pa0.pgb, pa1.pgb):              # (b) page bounds
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    PAGE = pt.PAGE
+    c0 = np.stack([np.asarray(c) for c in pa0.cl_cols], axis=-1)  # (G,PAGE,6)
+    c1 = np.stack([np.asarray(c) for c in pa1.cl_cols], axis=-1)
+    def best_corr(page):             # best-axis |index-vs-mid correlation|
+        mid = 0.5 * (page[:, :3] + page[:, 3:])      # centroid-ish mids
+        m = mid[page[:, 0] < 1e29]                   # drop _PAD_BOX slots
+        if len(m) <= 2:
+            return 1.0
+        ii = np.arange(len(m)) - (len(m) - 1) / 2.0
+        best = 0.0
+        for ax in range(3):
+            cd = m[:, ax] - m[:, ax].mean()
+            den = np.sqrt((ii ** 2).sum()) * np.sqrt(max((cd ** 2).sum(),
+                                                         1e-12))
+            best = max(best, abs(float((ii * cd).sum() / den)))
+        return best
+
+    for g in range(pa0.n_pages):
+        s0 = {tuple(row) for row in c0[g]}
+        s1 = {tuple(row) for row in c1[g]}
+        assert s0 == s1                              # (a) same cluster set
+        # (c) near-monotone along SOME axis: the sort key is the true
+        # cluster centroid; AABB mids are a jittery proxy (overlapping
+        # clusters), so the gate is global correlation, not adjacent
+        # inversions (bench scene measured: 0.96-0.99 sorted vs 0.74-0.94
+        # raw kd order).
+        r0, r1 = best_corr(c0[g]), best_corr(c1[g])
+        assert r1 > 0.95, (g, r1)
+        assert r1 >= r0 - 1e-9, (g, r0, r1)

@@ -298,6 +298,9 @@ GID_BATCH = 4
 # trip). Exact: every epilogue write is already masked by `closer`.
 # MEASURED a small loss (206.7 vs 202.5 control): the extra scalar reduce
 # + branch drain costs more than the skipped transient-free epilogues.
+# RE-MEASURED at the 142 ms state (r4, PASS_PAIR+PAGE_SORT): 141.21 vs
+# 141.77 control and 141.86 with PAGE_SORT — neutral within tunnel noise
+# even with monotone per-page ordering; stays OFF.
 CLOSER_GATE = False
 # Pair-pass traversal: each visitation loop iteration tests TWO admitted
 # clusters in one fused pass (one edge dot, one plane dot, one attribute
@@ -415,6 +418,20 @@ TRAV_MODE = "bitmask"
 # cost, measured neutral on the bench scene, strictly better ordering on
 # scenes whose kd pages sweep different axes.
 PAGE_AXES = True
+# Within-page cluster sort (prep-side, zero kernel cost): re-order each
+# page's clusters by centroid along the page's longest axis so ascending
+# cluster index IS the monotone spatial sweep the asc/desc visitation
+# flags assume. The raw kd dfs order only correlates ~0.8 with its page's
+# dominant axis (bench scene, measured) — the zigzag turns closer-later
+# clusters into transient winner passes (~40% of hit passes, TRACK_WINNERS
+# round 2). MEASURED NEUTRAL on the 1080p bench (142.25 vs 141.77 control,
+# checksum-identical; also neutral combined with CLOSER_GATE at 141.86 and
+# with REGATE at 186.6 vs 190.2) — a transient winner improves best_t at
+# its own visit time, so no gate can skip its epilogue and the bench
+# scene's pages leave nothing recoverable. Ships ON anyway (PAGE_AXES
+# precedent): zero per-visit and ~zero prep cost, bit-identical output,
+# strictly better ordering on scenes whose kd pages zigzag harder.
+PAGE_SORT = True
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
 _CUT_I32 = int(np.float32(1e29).view(np.int32))        # "padded box" cutoff
@@ -2445,7 +2462,8 @@ def _median_split_order(cent: np.ndarray, K: int) -> np.ndarray:
 
 def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
                          chan_mode=None, trav=None,
-                         bin_scheme=None, page_axes=None) -> PallasAccel:
+                         bin_scheme=None, page_axes=None,
+                         page_sort=None) -> PallasAccel:
     """Pack kernel geometry from a ClusterAccel OR a raw Triangles soup
     (host-side numpy, not jittable).
 
@@ -2470,6 +2488,7 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     trav = TRAV_MODE if trav is None else trav
     bin_scheme = BIN_SCHEME if bin_scheme is None else bin_scheme
     page_axes = PAGE_AXES if page_axes is None else page_axes
+    page_sort = PAGE_SORT if page_sort is None else page_sort
     tr = getattr(accel, "triangles", accel)   # ClusterAccel or raw Triangles
     v0 = np.asarray(tr.v0)
     v1 = np.asarray(tr.v1)
@@ -2505,9 +2524,38 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
             "cluster tracer keeps rendering correct")
     Tp = Cp * KSIZE
 
+    # Triangle gather map into the kd-ordered length-T arrays; -1 marks a
+    # padding slot. PAGE_SORT re-orders each page's clusters by centroid
+    # along the page's longest axis (prep-only; the kernel resolves all
+    # hit attributes internally, so cluster order is pure visitation
+    # order): ascending index then IS the front-to-back sweep the per-page
+    # asc/desc flags assume, converting transient-winner hit passes into
+    # best-t re-gate skips at zero per-visit cost.
+    tgi = np.full((Tp,), -1, np.int64)
+    tgi[:T] = np.arange(T)
+    if page_sort and C > 1:
+        centp = np.zeros((Tp, 3))
+        centp[:T] = (v0 + v1 + v2) / 3.0
+        rw = (tgi >= 0).reshape(Cp, KSIZE, 1)
+        csum = (centp.reshape(Cp, KSIZE, 3) * rw).sum(axis=1)
+        ccent_s = csum / np.maximum(rw.sum(axis=1), 1)
+        cperm = np.arange(Cp)
+        for p_ in range(G):
+            lo_, hi_ = p_ * PAGE, min(C, (p_ + 1) * PAGE)
+            if hi_ - lo_ > 2:
+                seg = ccent_s[lo_:hi_]
+                ax_ = int(np.argmax(seg.max(axis=0) - seg.min(axis=0)))
+                cperm[lo_:hi_] = lo_ + np.argsort(seg[:, ax_],
+                                                  kind="stable")
+        tgi = tgi.reshape(Cp, KSIZE)[cperm].reshape(-1)
+    realm = tgi >= 0
+    _src = np.maximum(tgi, 0)
+
     def pad(a):
-        out = np.zeros((Tp,) + a.shape[1:], a.dtype)
-        out[:T] = a
+        if T == 0:
+            return np.zeros((Tp,) + a.shape[1:], a.dtype)
+        out = a[_src].copy()
+        out[~realm] = 0
         return out
 
     v0p, v1p, v2p = pad(v0), pad(v1), pad(v2)
@@ -2517,7 +2565,7 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     # Cluster AABBs over real members only.
     mmin = np.minimum(np.minimum(v0p, v1p), v2p).reshape(Cp, KSIZE, 3)
     mmax = np.maximum(np.maximum(v0p, v1p), v2p).reshape(Cp, KSIZE, 3)
-    real = (np.arange(Tp) < T).reshape(Cp, KSIZE, 1)
+    real = realm.reshape(Cp, KSIZE, 1)
     cvmin = np.where(real, mmin, np.inf).min(axis=1)
     cvmax = np.where(real, mmax, -np.inf).max(axis=1)
     has_real = real.any(axis=1)[:, 0]
@@ -2585,8 +2633,7 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     n0 = pad(np.asarray(tr.n0)[perm])
     n1 = pad(np.asarray(tr.n1)[perm])
     n2 = pad(np.asarray(tr.n2)[perm])
-    mid = np.zeros((Tp,), np.int64)
-    mid[:T] = np.asarray(tr.material_id)[perm]
+    mid = pad(np.asarray(tr.material_id)[perm].astype(np.int64))
     if materials is not None:
         alb = np.asarray(materials.albedo)[mid]
         spc = np.asarray(materials.specular)[mid]
