@@ -775,9 +775,13 @@ def test_page_sort_prep_invariants():
         return best
 
     for g in range(pa0.n_pages):
-        s0 = {tuple(row) for row in c0[g]}
-        s1 = {tuple(row) for row in c1[g]}
-        assert s0 == s1                              # (a) same cluster set
+        # (a) same cluster MULTISET: lexsort rows and compare arrays so a
+        # buggy permutation that duplicated one cluster and dropped another
+        # with an identical AABB (or several _PAD_BOX slots) cannot pass.
+        def _sorted_rows(a):
+            return a[np.lexsort(a.T[::-1])]
+        np.testing.assert_array_equal(_sorted_rows(c0[g]),
+                                      _sorted_rows(c1[g]))
         # (c) near-monotone along SOME axis: the sort key is the true
         # cluster centroid; AABB mids are a jittery proxy (overlapping
         # clusters), so the gate is global correlation, not adjacent

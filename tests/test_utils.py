@@ -80,6 +80,45 @@ def test_debugviz_stats_and_dump(tmp_path):
     assert report["n_touched"] >= 1
 
 
+def test_implicit_heap_layout():
+    """The reference-compat complete-binary-heap export (JoinBVH,
+    RayTraceMaster.cs:459-505): heap invariants + exact leaf coverage."""
+    scene = _scene()
+    accel = build_cluster_accel(scene.triangles, cluster_size=16,
+                                use_native=False)
+    hvmin, hvmax, hidx = debugviz.to_implicit_heap(accel)
+    M = len(hidx)
+    assert M & (M + 1) == 0                     # 2**d - 1 slots
+    C = accel.num_clusters
+    # Every cluster appears exactly once as a leaf; fillers/parents are -1.
+    leaves = hidx[hidx >= 0]
+    assert sorted(leaves.tolist()) == list(range(C))
+    filler = (hidx < 0) & (np.abs(hvmin).sum(1) == 0) \
+        & (np.abs(hvmax).sum(1) == 0)
+    for i in range(M):
+        li, ri = 2 * i + 1, 2 * i + 2
+        if li >= M:
+            break
+        if hidx[i] >= 0 or filler[i]:
+            # leaf or filler: entire subtree below must be filler
+            assert filler[li] and filler[ri]
+            continue
+        # internal: children exist and parent AABB contains real children
+        for ch in (li, ri):
+            if not filler[ch]:
+                assert (hvmin[i] <= hvmin[ch] + 1e-5).all()
+                assert (hvmax[i] >= hvmax[ch] - 1e-5).all()
+        # larger subtree goes left (cs:468-472): count real slots below
+        def real_count(s):
+            if s >= M or filler[s]:
+                return 0
+            return 1 + real_count(2 * s + 1) + real_count(2 * s + 2)
+        assert real_count(li) >= real_count(ri)
+    # Root AABB matches the LBVH root.
+    np.testing.assert_allclose(hvmin[0], np.asarray(accel.node_vmin)[0])
+    np.testing.assert_allclose(hvmax[0], np.asarray(accel.node_vmax)[0])
+
+
 def test_checkpoint_resume(tmp_path):
     scene = _scene()
     cam = Camera.create(position=(0, 1.5, -6), look_at=(0, 1, 0),
@@ -117,9 +156,21 @@ def test_persistent_compile_cache(tmp_path):
     prev_env = os.environ.get("URT_COMPILE_CACHE")
     d = str(tmp_path / "jaxcache")
     try:
-        assert enable_persistent_cache(d) == d
-        assert os.path.isdir(d)
-        assert jax.config.jax_compilation_cache_dir == d
+        from unityraytracer_tpu.utils.compcache import (cache_namespace,
+                                                        host_fingerprint)
+
+        used = enable_persistent_cache(d)
+        # Namespaced per backend (+ host fingerprint on CPU): a CPU AOT
+        # executable compiled on another machine can never be served here.
+        expect = os.path.join(d, cache_namespace(jax.default_backend()))
+        assert used == expect
+        assert os.path.isdir(used)
+        assert jax.config.jax_compilation_cache_dir == used
+        # Two distinct host fingerprints resolve to distinct CPU cache dirs;
+        # TPU namespaces are fingerprint-free (executables are host-portable).
+        assert cache_namespace("cpu", "aaaa") != cache_namespace("cpu", "bbbb")
+        assert cache_namespace("tpu") == "tpu"
+        assert len(host_fingerprint()) == 12
         # Env-var opt-out returns None and leaves config untouched.
         os.environ["URT_COMPILE_CACHE"] = ""
         assert enable_persistent_cache() is None

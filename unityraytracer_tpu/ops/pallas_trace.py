@@ -429,8 +429,11 @@ PAGE_AXES = True
 # with REGATE at 186.6 vs 190.2) — a transient winner improves best_t at
 # its own visit time, so no gate can skip its epilogue and the bench
 # scene's pages leave nothing recoverable. Ships ON anyway (PAGE_AXES
-# precedent): zero per-visit and ~zero prep cost, bit-identical output,
-# strictly better ordering on scenes whose kd pages zigzag harder.
+# precedent): zero per-visit and ~zero prep cost, output identical modulo
+# exact-t ties (the strict `closer` compare breaks equal-t ties by visit
+# order, so coplanar duplicate geometry may resolve to a different — still
+# valid — winner), strictly better ordering on scenes whose kd pages
+# zigzag harder.
 PAGE_SORT = True
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
@@ -2481,7 +2484,9 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     ``geom``/``chan_mode``/``trav``/``bin_scheme`` override the module-level
     defaults (GEOM_MODE etc.) and are recorded on the returned accel — the
     kernels follow the accel's fields, so A/B experiments are prep arguments,
-    not source edits.
+    not source edits. ``page_sort`` is prep-only (it permutes the baked
+    cluster order) and intentionally NOT recorded on the accel: the kernels
+    have no sort-dependent behavior to follow.
     """
     geom = GEOM_MODE if geom is None else geom
     chan_mode = CHAN_MODE if chan_mode is None else chan_mode
@@ -2554,7 +2559,7 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
     def pad(a):
         if T == 0:
             return np.zeros((Tp,) + a.shape[1:], a.dtype)
-        out = a[_src].copy()
+        out = a[_src]          # fancy indexing already allocates a new array
         out[~realm] = 0
         return out
 

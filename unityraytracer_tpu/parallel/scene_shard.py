@@ -21,7 +21,7 @@ renderer's tensor-parallel analog (the "long-context" axis of SURVEY.md §5):
   against its sub-scene (plus the tiny replicated sphere/ground
   candidates — idempotent under min), then ONE packed all-reduce picks the
   global closest hit: ``pmin`` over t, a ``pmin`` tie-break on the device
-  index, and a single stacked ``psum`` that selects the winner's 13
+  index, and a single stacked ``psum`` that selects the winner's 16
   attribute rows. Communication is O(rows x rays x log n) over ICI per
   bounce — the price of scene parallelism, exactly like tensor-parallel
   matmul all-reduces.
@@ -179,8 +179,9 @@ def allreduce_hit(hit: Hit, axis: str, n_dev: int) -> Hit:
 
     Winner = min t, ties broken by lowest device index (deterministic; a
     cross-device tie means identical records — e.g. the replicated ground/
-    sphere candidates — so any winner is the same record). All 13 attribute
-    rows ride ONE stacked psum.
+    sphere candidates — so any winner is the same record). All 16 attribute
+    rows (position 3 + normal 3 + albedo 3 + specular 3 + emission 3 +
+    smoothness 1) ride ONE stacked psum.
     """
     t = hit.t
     tmin = jax.lax.pmin(t, axis)

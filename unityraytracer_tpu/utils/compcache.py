@@ -16,7 +16,45 @@ Library folder — the same latency problem, solved the same way).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def host_fingerprint() -> str:
+    """Short stable id of THIS host's CPU microarchitecture.
+
+    XLA:CPU AOT executables bake in the compile machine's feature set
+    (avx512*, amx-*, …); loading one on a host with different features is a
+    latent SIGILL (cpu_aot_loader.cc warns exactly this). Namespacing the
+    CPU cache by a feature fingerprint makes a cross-machine hit impossible.
+    Source: the ``flags`` line of /proc/cpuinfo (Linux) + machine triple;
+    falls back to the platform tuple where /proc is absent.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags or platform.processor()}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+def cache_namespace(backend: str, fingerprint: str | None = None) -> str:
+    """Cache subdirectory for a backend.
+
+    TPU executables are keyed by chip type inside XLA and are host-portable,
+    so they share one namespace; CPU AOT results are host-microarchitecture-
+    specific and get a per-fingerprint namespace (two hosts with different
+    CPU features resolve to two distinct directories — tested).
+    """
+    if backend == "cpu":
+        return f"cpu-{fingerprint or host_fingerprint()}"
+    return backend
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
@@ -24,8 +62,11 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
 
     Priority: explicit argument > ``URT_COMPILE_CACHE`` env var (empty
     string disables) > ``<repo root>/.cache/jax`` next to the package >
-    ``~/.cache/unityraytracer_tpu/jax``. Returns the directory used, or
-    None when disabled/unavailable. Safe to call more than once.
+    ``~/.cache/unityraytracer_tpu/jax``. The resolved root is then
+    namespaced per backend (and per host microarchitecture on CPU — see
+    ``cache_namespace``) so a CPU AOT executable compiled on one machine is
+    never served to another. Returns the directory used, or None when
+    disabled/unavailable. Safe to call more than once.
     """
     if cache_dir is None:
         cache_dir = os.environ.get("URT_COMPILE_CACHE")
@@ -45,9 +86,11 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                                  "unityraytracer_tpu", "jax")
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        cache_dir = os.path.join(cache_dir,
+                                 cache_namespace(jax.default_backend()))
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Remote compiles are worth caching at ANY size; the 1 s floor only
         # skips trivial host-side programs.

@@ -76,6 +76,70 @@ def dump_tree(accel: ClusterAccel, max_nodes: int = 64) -> str:
     return "\n".join(lines)
 
 
+def to_implicit_heap(accel: ClusterAccel):
+    """Re-encode the LBVH in the reference's implicit complete-binary-heap
+    array layout — the CPU-side debug/compat representation promised by the
+    build plan (SURVEY §7 step 3).
+
+    Matches the contract of ``JoinBVH`` (RayTraceMaster.cs:459-505): children
+    of heap slot ``i`` live at ``2i+1`` / ``2i+2``; the LARGER subtree goes
+    left (cs:468-472); slots under a shallow subtree are padded with filler
+    nodes ``{vmin=0, vmax=0, index=-1}`` (cs:490-494). Leaves carry their
+    cluster index in ``index`` (>= 0); internal nodes carry -1, exactly the
+    ``index < 0`` parent test the reference traversal uses
+    (RayTraceShader.compute:313-314). Pure numpy, debug/interop only — the
+    TPU kernels traverse the bitmask/page layout, never this.
+
+    Returns ``(vmin, vmax, index)``: ``(M, 3) f32 ×2`` and ``(M,) int32``
+    with ``M = 2**depth - 1`` for the deepest root-to-leaf path.
+    """
+    left = np.asarray(accel.node_left)
+    right = np.asarray(accel.node_right)
+    nvmin = np.asarray(accel.node_vmin, np.float32)
+    nvmax = np.asarray(accel.node_vmax, np.float32)
+    C = accel.num_clusters
+    LEAF0 = C - 1 if C > 1 else 0
+
+    # Subtree sizes (node count) drive the larger-goes-left rule; depths
+    # size the heap. Iterative post-order over the pointer tree.
+    size = np.ones(len(left), np.int64)
+    depth_of = {0: 0}
+    max_depth = 0
+    order: List[int] = []
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        max_depth = max(max_depth, depth_of[n])
+        if left[n] >= 0:
+            for ch in (int(left[n]), int(right[n])):
+                depth_of[ch] = depth_of[n] + 1
+                stack.append(ch)
+    for n in reversed(order):
+        if left[n] >= 0:
+            size[n] = 1 + size[int(left[n])] + size[int(right[n])]
+
+    M = (1 << (max_depth + 1)) - 1
+    hvmin = np.zeros((M, 3), np.float32)
+    hvmax = np.zeros((M, 3), np.float32)
+    hidx = np.full(M, -1, np.int32)
+
+    place = [(0, 0)]
+    while place:
+        n, slot = place.pop()
+        hvmin[slot] = nvmin[n]
+        hvmax[slot] = nvmax[n]
+        if left[n] < 0:
+            hidx[slot] = n - LEAF0 if C > 1 else 0
+        else:
+            l, r = int(left[n]), int(right[n])
+            if size[r] > size[l]:                     # larger subtree LEFT
+                l, r = r, l
+            place.append((l, 2 * slot + 1))
+            place.append((r, 2 * slot + 2))
+    return hvmin, hvmax, hidx
+
+
 def export_aabbs_obj(accel: ClusterAccel, path: str,
                      leaves_only: bool = True) -> str:
     """Write cluster (or all node) AABBs as wireframe boxes in an OBJ file —
