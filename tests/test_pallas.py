@@ -463,6 +463,72 @@ def test_megakernel_group_pass_identity(flag, monkeypatch):
     np.testing.assert_array_equal(img0, img1)
 
 
+@pytest.mark.parametrize("nslot,chan_mode", [
+    (1, "split3"), (3, "bf16s3"), (4, "bf16s3"), (8, "split3"),
+])
+def test_slot_epilogue_matches_brute(nslot, chan_mode, monkeypatch):
+    # SLOT_EPI defers the attribute dot + blend + channel writes across
+    # nslot fired pair passes (per-pass: exact t/u/v reduces + ROW_GID =
+    # slot*2K + lane + 1; per-drain: one iota-rebuilt one-hot, one wide
+    # dot over the slots' concatenated chan blocks). nslot=1 drains every
+    # pass; 3 exercises a final partial batch; 4/8 the amortized path.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, "SLOT_EPI", nslot)
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, chan_mode=chan_mode)
+    ro, rd = _rays(2 * TILE + 37, seed=13)
+    _assert_matches_brute(SCENE, pa, ro, rd)
+
+
+def test_slot_epilogue_cross_word_carry(monkeypatch):
+    # Slot registers + fired-pass count must survive 32-bit word and page
+    # boundaries (the (pend, cids, n) carry threaded through page_pass):
+    # >32 admitted clusters per tile forces both.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    monkeypatch.setattr(pt, "PASS_PAIR", True)
+    monkeypatch.setattr(pt, "SLOT_EPI", 4)
+    b = SceneBuilder()
+    v, f, n = P.icosphere(2)
+    for i in range(9):
+        b.add_mesh(v, f, transform=trs_matrix((0, 1, i * 1.5), (0, 17 * i, 0),
+                                              1.2),
+                   material=Material(albedo=(0.1 + 0.08 * i, 0.9 - 0.08 * i,
+                                             0.3)))
+    b.set_skybox(np.ones((2, 4, 3), np.float32) * 0.5)
+    scene = b.build()
+    accel = build_cluster_accel(scene.triangles, cluster_size=64,
+                                use_native=False)
+    pa = prepare_pallas_accel(accel, scene.materials)
+    assert accel.num_clusters > 32  # clusters span >1 bitmask word
+    rng = np.random.default_rng(3)
+    ro = np.array([[0, 1, -4]], np.float32) + \
+        rng.uniform(-0.2, 0.2, (TILE, 3)).astype(np.float32)
+    rd = np.array([[0, 0, 1]], np.float32) + \
+        rng.normal(0, 0.08, (TILE, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
+
+
+@pytest.mark.parametrize("nslot", [1, 4])
+def test_megakernel_slot_epilogue_identity(nslot, monkeypatch):
+    # A one-hot dot sums exactly one product whatever the operand width,
+    # t writes stay per-pass (same best-t stream -> same pass sequence),
+    # and the drain resolves each ray's CURRENT winner — so the bench-path
+    # megakernel must render BIT-IDENTICAL images with slots on.
+    from unityraytracer_tpu.ops import pallas_trace as pt
+    from unityraytracer_tpu.render import render_sample_mega
+    pa = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=64 / 48)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=3,
+                       tracer="pallas")
+    key = jax.random.key(9)
+    img0 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
+    monkeypatch.setattr(pt, "SLOT_EPI", nslot)
+    img1 = np.asarray(render_sample_mega(SCENE, pa, cam, key, cfg))
+    np.testing.assert_array_equal(img0, img1)
+
+
 @pytest.mark.parametrize("rr_group", ["ray", "step"])
 def test_megakernel_draw_convention_layout_identity(rr_group, monkeypatch):
     # The canonical per-ray draw assignment (_draw_fn: pixel p's draw =

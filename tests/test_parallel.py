@@ -122,6 +122,45 @@ def _mesh_scene(n_tris=900):
     return fixtures.bench_scene(n_tris=n_tris)
 
 
+def test_rows_scene_composed_2d_mesh_matches_rows():
+    """mode="rows_scene" on a 2x4 (rows, scene) mesh: framebuffer bands on
+    the major axis, triangle shards + per-bounce closest-hit all-reduce on
+    the minor. Band streams fold the ROW index only (all shards of a band
+    must trace identical rays), so the composed render is stream-identical
+    to plain 2-device rows mode — and the exact min-combine makes it match
+    to float tolerance. Also checks the placement: accel sharded along
+    "scene", accumulator along "rows"."""
+    from unityraytracer_tpu.parallel.sharding import make_mesh2
+
+    scene = _mesh_scene()
+    cfg = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024,
+                      bounces=3)
+    cam = Camera.create(position=(0, 10, -30), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    mesh2 = make_mesh2(2, 4)
+    r_2d = ShardedRenderer(scene, cam, cfg, mesh=mesh2, seed=4,
+                           mode="rows_scene").step(2)
+    r_rows = ShardedRenderer(scene, cam, cfg,
+                             mesh=make_mesh(jax.devices()[:2]),
+                             seed=4, mode="rows").step(2)
+    assert np.isfinite(r_2d.image).all()
+    assert r_2d.image.max() > 0.05
+    np.testing.assert_allclose(r_2d.image, r_rows.image,
+                               atol=2e-5, rtol=1e-4)
+    accel_sh = {str(l.sharding)
+                for l in jax.tree_util.tree_leaves(r_2d.accel)}
+    assert any("scene" in s for s in accel_sh)
+    assert "rows" in str(r_2d.state.accum.sharding)
+    # Composed checkpoint/resume round-trip re-shards by rows.
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = r_2d.save_state(os.path.join(td, "ck"))
+        r_back = ShardedRenderer(scene, cam, cfg, mesh=mesh2, seed=4,
+                                 mode="rows_scene").load_state(p)
+        assert r_back.sample_count == r_2d.sample_count
+        np.testing.assert_allclose(r_back.image, r_2d.image, atol=1e-6)
+
+
 def test_scene_sharding_matches_single_device():
     """mode="scene" (1/n of the triangles per device, closest-hit
     all-reduce) must reproduce the single-device render of the SAME seed to

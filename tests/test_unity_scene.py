@@ -92,6 +92,59 @@ def _write(tmp_path, docs):
     return p
 
 
+def test_mesh_guid_resolution(tmp_path):
+    # Non-builtin mesh references resolve through the project's .meta guid
+    # index (the reference flattens ANY MeshFilter.sharedMesh,
+    # RayTraceMaster.cs:298-305): a synthesized Unity project layout with
+    # an OBJ asset + its .meta must import with the mesh present and match
+    # SceneBuilder.add_obj on the same file. Unresolvable guids still
+    # warn-and-skip.
+    from unityraytracer_tpu.scene import SceneBuilder
+
+    guid = "ab12cd34ef56ab12cd34ef56ab12cd34"
+    assets = tmp_path / "Assets"
+    (assets / "Meshes").mkdir(parents=True)
+    (assets / "Scenes").mkdir()
+    obj_path = assets / "Meshes" / "wedge.obj"
+    obj_path.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "f 1 2 3\nf 1 3 4\n")
+    (assets / "Meshes" / "wedge.obj.meta").write_text(
+        f"fileFormatVersion: 2\nguid: {guid}\n"
+        "ModelImporter:\n  serializedVersion: 21300\n")
+    docs = [
+        _go(100, "Wedge"), _tf(101, 100, (2, 1, 0)),
+        _rto(102, 100),
+        _doc(33, 103, ("MeshFilter:\n"
+                       "  m_GameObject: {fileID: 100}\n"
+                       f"  m_Mesh: {{fileID: 4300000, guid: {guid},"
+                       " type: 3}\n")),
+        # unresolvable guid: warn-and-skip (unchanged behavior)
+        _go(110, "Ghost"), _tf(111, 110, (0, 0, 9)),
+        _rto(112, 110),
+        _doc(33, 113, ("MeshFilter:\n"
+                       "  m_GameObject: {fileID: 110}\n"
+                       "  m_Mesh: {fileID: 4300000, guid: "
+                       "ffffffffffffffffffffffffffffffff, type: 3}\n")),
+    ]
+    text = "%YAML 1.1\n%TAG !u! tag:unity3d.com,2011:\n" + "".join(docs)
+    p = assets / "Scenes" / "scene.unity"
+    p.write_text(text)
+    scene, _, _ = load_unity_scene(str(p), aspect=1.0)
+    assert scene.num_triangles == 2              # wedge loaded, ghost skipped
+
+    b = SceneBuilder()
+    tr = np.eye(4, dtype=np.float32)
+    tr[:3, 3] = (2, 1, 0)
+    b.add_obj(str(obj_path), transform=tr)
+    b.set_skybox(np.ones((2, 4, 3), np.float32))
+    ref = b.build()
+    np.testing.assert_allclose(np.asarray(scene.triangles.v0),
+                               np.asarray(ref.triangles.v0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.triangles.v2),
+                               np.asarray(ref.triangles.v2), atol=1e-6)
+
+
 def test_synthetic_scene_core(tmp_path):
     docs = [
         # sphere: scaled parent -> lossyScale applies to collider radius

@@ -116,6 +116,79 @@ def _is_script(fields, guid):
     return isinstance(s, dict) and s.get("guid") == guid
 
 
+_GUID_RE = re.compile(r"^guid:\s*([0-9a-f]{32})\s*$", re.M)
+
+
+def _guid_index(project_root) -> dict:
+    """guid -> asset path, from the Unity project's ``.meta`` files.
+
+    Unity pairs every asset with ``<asset>.meta`` carrying a stable
+    ``guid:`` line; serialized references store that guid. One shallow walk
+    of the project tree (``Assets/`` and any sibling content dirs under the
+    root) builds the reverse map — only the first ~1 KB of each .meta is
+    read (the guid line sits in the header).
+    """
+    import os
+
+    idx = {}
+    for dirpath, dirnames, filenames in os.walk(project_root):
+        dirnames[:] = [d for d in dirnames
+                       if d not in (".git", "Library", "Temp", "obj")]
+        for fn in filenames:
+            if not fn.endswith(".meta"):
+                continue
+            p = os.path.join(dirpath, fn)
+            try:
+                with open(p, "r", errors="replace") as f:
+                    head = f.read(1024)
+            except OSError:
+                continue
+            m = _GUID_RE.search(head)
+            if m:
+                idx[m.group(1)] = p[:-len(".meta")]
+    return idx
+
+
+def _project_root(scene_path) -> str:
+    """Nearest ancestor of the scene that CONTAINS ``Assets`` (the Unity
+    project root), else the scene's own directory."""
+    import os
+
+    d = os.path.dirname(os.path.abspath(scene_path))
+    while True:
+        if os.path.isdir(os.path.join(d, "Assets")):
+            return d
+        parent = os.path.dirname(d)
+        if parent == d:
+            return os.path.dirname(os.path.abspath(scene_path))
+        d = parent
+
+
+def _resolve_mesh_guid(guid, guid_idx, log):
+    """guid -> (vertices, faces, normals) via the project's .meta index.
+
+    Matches the reference's ability to flatten ANY registered
+    ``MeshFilter.sharedMesh`` (RayTraceMaster.cs:298-305): model-file
+    assets resolve through their .meta guid and load with the OBJ loader.
+    Returns None (caller warns-and-skips) for unresolvable guids or asset
+    types the loader does not cover.
+    """
+    path = guid_idx.get(guid)
+    if path is None:
+        return None
+    if not path.lower().endswith(".obj"):
+        log.warn(f"unity import: mesh asset {path!r} is not an OBJ — "
+                 "skipped (convert or add it via SceneBuilder.add_mesh)")
+        return None
+    from .obj import load_obj
+
+    try:
+        return load_obj(path)
+    except (OSError, ValueError) as e:
+        log.warn(f"unity import: failed to load mesh {path!r}: {e}")
+        return None
+
+
 def _material_from(fields) -> Material:
     """RayTraceObject serialized material; absent fields use the C# defaults
     (RayTraceObject.cs:12-15) — SampleScene's older serialization has none."""
@@ -138,8 +211,11 @@ def load_unity_scene(path: str, aspect: float = 16 / 9,
     enabled RayTraceObject on an active GameObject, reference typing rules),
     a Camera from the scene's camera object at ``aspect``, and a settings
     dict (``numBounces``/``numRays``/``skybox_guid`` when a RayTraceMaster
-    is present). Non-builtin mesh references are skipped with a warning
-    (the reference scenes use only Unity's builtin primitives).
+    is present). Non-builtin mesh references resolve through the project's
+    ``.meta`` guid index (OBJ assets load directly, matching the
+    reference's ability to flatten any registered sharedMesh —
+    RayTraceMaster.cs:298-305); unresolvable guids or unsupported asset
+    types are skipped with a warning.
 
     ``include_disabled`` also loads objects whose RayTraceObject component
     is disabled. Default False matches the reference's RUNTIME: OnEnable
@@ -168,6 +244,7 @@ def load_unity_scene(path: str, aspect: float = 16 / 9,
     log = get_logger()
     cam = None
     settings = {}
+    guid_idx = None  # lazy guid -> asset map for non-builtin meshes
     for go_fid, (cls, cname, go) in docs.items():
         if cname != "GameObject":
             continue
@@ -226,12 +303,24 @@ def load_unity_scene(path: str, aspect: float = 16 / 9,
             continue
         mesh_ref = mfs[0].get("m_Mesh", {})
         kind = _BUILTIN_MESH.get(_fid(mesh_ref))
-        if kind is None:
-            log.warn(f"unity import: GameObject {go.get('m_Name')!r} uses a "
-                     "non-builtin mesh — skipped (import the mesh via "
-                     "models.obj and add it explicitly)")
-            continue
-        v, f, n = _MESH_GEN[kind](**(mesh_detail_kw or {}).get(kind, {}))
+        if kind is not None:
+            v, f, n = _MESH_GEN[kind](**(mesh_detail_kw or {}).get(kind, {}))
+        else:
+            # Non-builtin mesh: resolve the asset guid through the
+            # project's .meta files (index built lazily, once per import).
+            guid = (mesh_ref or {}).get("guid") \
+                if isinstance(mesh_ref, dict) else None
+            loaded = None
+            if guid:
+                if guid_idx is None:
+                    guid_idx = _guid_index(_project_root(path))
+                loaded = _resolve_mesh_guid(guid, guid_idx, log)
+            if loaded is None:
+                log.warn(f"unity import: GameObject {go.get('m_Name')!r} "
+                         "uses an unresolvable mesh — skipped (import the "
+                         "mesh via models.obj and add it explicitly)")
+                continue
+            v, f, n = loaded
         b.add_mesh(v, f, transform=m.astype(np.float32), material=mat,
                    normals=n)
 

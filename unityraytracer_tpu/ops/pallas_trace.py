@@ -334,6 +334,27 @@ PASS_PAIR = True
 # extra row writes add ~6 ms. Ships OFF; kept as the documented probe of
 # the consume-position hypothesis.
 PAIR_PIPE = False
+# SLOTTED pair epilogue: fire the pair GEOMETRY every pass as usual, but
+# defer the attribute dot + normal blend + channel writes across
+# SLOT_EPI consecutive fired passes. Each pass only records its winners
+# (exact t/u/v reduces — measured ~free — plus ROW_GID = slot*2K + winner
+# lane + 1, four masked (1, TILE) row writes under the existing any_ok
+# gate) and stashes its two cluster ids in scalar slot registers carried
+# through the visitation loops; every SLOT_EPI-th fired pass DRAINS: one
+# iota==gid compare rebuilds the one-hot over all SLOT_EPI*2K slot lanes,
+# the slots' chan blocks concatenate along lanes, and ONE attribute dot +
+# ONE blend/write sequence resolves every ray's CURRENT winner. The
+# ~650-cycle per-issue dot stall (and the per-pass blend + 5 block
+# writes) amortizes SLOT_EPI x. Differences from the measured-out
+# variants: PAIR_PIPE still issued its dot EVERY pass (no amortization);
+# "gid"/step-level resolvers swept winners with serial scalar loops or
+# 8x-wide ops — here the drain is one fixed-shape dot at TILE width and
+# the per-pass path gets STRICTLY cheaper. t writes stay per-pass, so
+# culling/re-gate see the exact same best-t stream -> identical pass
+# sequence, and a one-hot dot sums exactly one product regardless of
+# operand width -> bit-identical images. 0 = off; 4/8 are the candidate
+# drain periods (A/B on hardware).
+SLOT_EPI = int(_os.environ.get("URT_SLOT_EPI", "0"))
 # Single-issue geometry: concatenate the edge and plane operands along the
 # OUTPUT lane/sublane axes so each cluster pass issues ONE MXU dot
 # ((k, 4NK) x (k, 3*TILE)) instead of two. Bit-identical results (each
@@ -622,6 +643,63 @@ def _for_set_bits_pair_pipe(word, idx_of, fire4, pend3):
 
     out = jax.lax.while_loop(cond, body, (word,) + tuple(pend3))
     return out[1:]
+
+
+def _for_set_bits_pair_slot(word, idx_of, fire2s, drain, carry, nslot):
+    """``_for_set_bits_pair`` with the SLOTTED epilogue's state threaded
+    through the carry: ``carry = (pend, cids, n)`` where ``cids`` is a
+    tuple of ``2 * nslot`` scalar cluster ids (the slot registers) and
+    ``n`` the fired-pass count since the last drain. Each fired pass runs
+    ``fire2s(a, b, n)`` (geometry + winner-record writes, side effects
+    only), stores (a, b) into slots (2n, 2n+1), and every ``nslot``-th
+    fired pass runs ``drain(cids)`` (the amortized attribute resolve).
+    Pairing logic — greedy pairs, leftover carried across words/pages —
+    is identical to ``_for_set_bits_pair``."""
+    def ctz(v):
+        return jnp.round(jnp.log2(jnp.abs(
+            v.astype(jnp.float32)))).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, (p, cids, n) = c
+        low0 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        c0 = idx_of(ctz(low0))
+        w_a = jnp.bitwise_xor(w, low0)
+        have_p = p >= 0
+        low1 = jnp.bitwise_and(w_a, jnp.int32(0) - w_a)
+        has1 = w_a != 0
+        c1 = idx_of(ctz(jnp.where(has1, low1, jnp.int32(1))))
+        a = jnp.where(have_p, p, c0)
+        b = jnp.where(have_p, c0, c1)
+        fire = have_p | has1
+
+        @pl.when(fire)
+        def _():
+            fire2s(a, b, n)
+
+        # Slot writes are masked no-ops when not firing; stale ids behind
+        # a re-armed n are never picked (ROW_GID only references lanes the
+        # NEXT batch's passes write) and their drain-time chan reads are
+        # safe (ids stay in range).
+        new_cids = tuple(
+            jnp.where(fire & (n == i // 2), (a if i % 2 == 0 else b), s)
+            for i, s in enumerate(cids))
+        full = fire & (n == nslot - 1)
+
+        @pl.when(full)
+        def _():
+            drain(new_cids)
+
+        nn = jnp.where(full, jnp.int32(0), jnp.where(fire, n + 1, n))
+        new_p = jnp.where(fire, jnp.int32(-1), c0)
+        new_w = jnp.where(have_p, w_a,
+                          jnp.bitwise_xor(
+                              w_a, jnp.where(has1, low1, jnp.int32(0))))
+        return new_w, (new_p, new_cids, nn)
+
+    return jax.lax.while_loop(cond, body, (word, carry))[1]
 
 
 def _for_set_bits_group(word, idx_of, fire, pend, nslots):
@@ -1030,6 +1108,11 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     # Pipelined pair epilogue: probes that replace the attribute dot or
     # reorder writes bisect the IMMEDIATE epilogue, so they force pipe off.
     pipe2 = PAIR_PIPE and pair and EPILOGUE_MODE == "full"
+    # Slotted pair epilogue (SLOT_EPI passes per attribute drain); the
+    # EPILOGUE_MODE probes bisect the immediate epilogue, so they force it
+    # off, as does pipe2 (mutually exclusive deferral schemes).
+    slot_epi = (SLOT_EPI if (pair and not pipe2
+                             and EPILOGUE_MODE == "full") else 0)
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -1386,14 +1469,17 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 # masked no-op.
                 return jnp.where(any_ok, c, jnp.int32(-1))
 
-        def cluster_passN(cs, pipe_store=False):
+        def cluster_passN(cs, pipe_store=False, slot_n=None):
             """One GROUP pass: N clusters' geometry in one fused dot pair,
             one shared winner select, one attribute dot over the
             concatenated N*K-triangle block. All ids in ``cs`` are distinct
             (each cluster is visited once; the greedy grouper never
             self-pairs). With ``pipe_store`` the attribute dot is left to
             the NEXT fired pass (PAIR_PIPE): the gated epilogue writes the
-            exact t/u/v reduces plus winner lane+1 into ROW_GID instead."""
+            exact t/u/v reduces plus winner lane+1 into ROW_GID instead.
+            With ``slot_n`` (SLOT_EPI) it is left to the next DRAIN:
+            ROW_GID records slot_n*N*K + winner lane + 1 so one drain dot
+            resolves every slot's winners at once."""
             N = len(cs)
             if COUNT_PASSES:
                 S[ROW_ADM:ROW_ADM + 1, ls] = \
@@ -1401,7 +1487,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 S[ROW_CNT:ROW_CNT + 1, ls] = \
                     S[ROW_CNT:ROW_CNT + 1, ls] + float(N)
             blk_h = None
-            if HOIST_CHAN and not pipe_store:
+            if HOIST_CHAN and not pipe_store and slot_n is None:
                 RPC_h = 3 * NCHAN
                 blk_h = jnp.concatenate(
                     [chan_ref[ds8(RPC_h, c, RPC_h), :]
@@ -1478,14 +1564,19 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     u_sel = ru if u_sel is None else u_sel + ru
                     v_sel = rv if v_sel is None else v_sel + rv
 
-                if pipe_store:
+                if pipe_store or slot_n is not None:
                     # Defer the attribute dot: record the exact winner
                     # rows + the winner's group lane (1-based; 0 = this
                     # pass won nothing for the ray, left by the caller's
-                    # re-arm). The next fired pass (or the tile drain)
+                    # re-arm). The next fired pass (PAIR_PIPE) or the next
+                    # slot drain (SLOT_EPI, lane offset slot_n*N*K over
+                    # the batch's virtual lanes — f32-exact, <= 2048)
                     # rebuilds the one-hot pick from these.
                     lane_w = jnp.bitwise_and(win_key, LMN).astype(
                         jnp.float32)
+                    if slot_n is not None:
+                        lane_w = lane_w + (slot_n * (N * KSIZE)).astype(
+                            jnp.float32)
                     S[0:1, ls] = jnp.where(closer, t_sel, S[0:1, ls])
                     S[ROW_U:ROW_U + 1, ls] = jnp.where(
                         closer, u_sel, S[ROW_U:ROW_U + 1, ls])
@@ -1515,6 +1606,47 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
         def cluster_pass2(c0, c1):
             cluster_passN([c0, c1])
+
+        def cluster_pass2_slot(a, b, n):
+            cluster_passN([a, b], slot_n=n)
+
+        def _slot_drain(cids):
+            """Amortized attribute resolve of the last <= SLOT_EPI fired
+            pair passes (SLOT_EPI mode). ROW_GID holds each ray's winning
+            virtual lane + 1 over the batch's SLOT_EPI*2K slot lanes (0 =
+            no triangle in the batch beat the ray); ROW_U/ROW_V (and t in
+            row 0) already hold that winner's exact reduces from its own
+            pass. One iota compare rebuilds the one-hot, the slots' chan
+            blocks concatenate along lanes, ONE dot + ONE blend/write
+            sequence lands the channels. A one-hot dot sums exactly one
+            product whatever the operand width, so the written channels
+            are bit-identical to the immediate epilogue's."""
+            RPC = 3 * NCHAN
+            g_row = S[ROW_GID:ROW_GID + 1, ls]
+            valid = g_row > 0.5
+
+            @pl.when(jnp.any(valid))
+            def _():
+                lane = g_row.astype(jnp.int32) - 1
+                L = len(cids) * KSIZE
+                subL = jax.lax.broadcasted_iota(jnp.int32, (L, TILE), 0)
+                pick = (subL == lane) & valid
+                blk = jnp.concatenate(
+                    [chan_ref[ds8(RPC, jnp.maximum(c, 0), RPC), :]
+                     for c in cids], axis=1)             # (RPC, L)
+                p_op = pick.astype(
+                    jnp.bfloat16 if blk.dtype == jnp.bfloat16
+                    else jnp.float32)
+                sel3 = jax.lax.dot_general(
+                    blk, p_op, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+                       + sel3[2 * NCHAN:3 * NCHAN, :])
+                u_p = S[ROW_U:ROW_U + 1, ls]
+                v_p = S[ROW_V:ROW_V + 1, ls]
+                _chan_writeback(sel, u_p, u_p, v_p, valid, write_t=False)
+                S[ROW_GID:ROW_GID + 1, ls] = jnp.zeros((1, TILE),
+                                                       jnp.float32)
 
         def cluster_pass_group(*cs):
             cluster_passN(list(cs))
@@ -2055,6 +2187,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 elif pipe2:
                     pend = _for_set_bits_pair_pipe(
                         word, idx_of, cluster_pass2_pipe, pend)
+                elif slot_epi:
+                    pend = _for_set_bits_pair_slot(
+                        word, idx_of, cluster_pass2_slot, _slot_drain,
+                        pend, slot_epi)
                 elif pair:
                     pend = _for_set_bits_pair(word, idx_of, cluster_pass2,
                                               pend)
@@ -2128,7 +2264,12 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 cluster_pass(p)        # drain the unpaired leftover
             return
         if pair:
-            pend = jnp.int32(-1)
+            if slot_epi:
+                pend = (jnp.int32(-1),
+                        tuple(jnp.int32(0) for _ in range(2 * slot_epi)),
+                        jnp.int32(0))
+            else:
+                pend = jnp.int32(-1)
             for w in range(len(pgw_a)):
                 word = jnp.where(desc_global, pgw_d[w], pgw_a[w])
                 pend = _for_set_bits_carry(
@@ -2137,6 +2278,19 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         jnp.where(desc_global, PW - 1 - (w * 32 + dg),
                                   w * 32 + dg), p),
                     pend)
+            if slot_epi:
+                p, cids, _n = pend
+                # Final drain FIRST (full-width: lanes behind the re-armed
+                # slot count are never referenced by ROW_GID), so the
+                # unpaired single's immediate epilogue runs on a clean
+                # ROW_GID and the channel state matches the non-slotted
+                # write order exactly.
+                _slot_drain(cids)
+
+                @pl.when(p >= 0)
+                def _():
+                    cluster_pass(p)    # drain the unpaired leftover
+                return
 
             @pl.when(pend >= 0)
             def _():

@@ -25,7 +25,14 @@ one thread per pixel within a dispatch. The TPU-native scale-out axes are:
   ceiling scales n× with the mesh); with cluster/bvh they are HBM-resident
   LBVHs for scenes past even one chip's HBM.
 
-Both are expressed with ``jax.shard_map`` over a 1-D device mesh so the same
+* **Composed ("rows_scene") sharding** — a 2-D ``(rows, scene)`` mesh:
+  framebuffer bands on the major axis, triangle shards on the minor, so a
+  pod slice scales PIXELS and ACCEL MEMORY simultaneously. Each device
+  traces its band against its sub-scene; the per-bounce closest-hit
+  all-reduce stays within a band's shard group (minor-axis ICI
+  neighbors), and bands never communicate until readback.
+
+All are expressed with ``jax.shard_map`` over a device mesh so the same
 step function jits on 1 chip, a v5e pod slice, or a CPU mesh of virtual
 devices (how tests and the driver's dry run validate multi-chip without
 hardware).
@@ -47,6 +54,7 @@ from ..render import RenderState, get_tracer, render_frame, render_sample
 from ..scene import Scene
 
 AXIS = "devices"
+ROW_AXIS, SCENE_AXIS = "rows", "scene"   # 2-D composed mesh axes
 
 
 def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
@@ -55,14 +63,31 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def make_mesh2(n_rows: int, n_scene: int,
+               devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ``(rows, scene)`` mesh: framebuffer bands on one axis, triangle
+    shards on the other — the pod-slice deployment shape (mode
+    "rows_scene"). The scene axis is the MINOR (fastest-varying) axis so a
+    shard group's per-bounce closest-hit all-reduce rides adjacent-device
+    ICI links; row bands never communicate until readback."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) < n_rows * n_scene:
+        raise ValueError(f"need {n_rows * n_scene} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:n_rows * n_scene]).reshape(n_rows, n_scene)
+    return Mesh(arr, (ROW_AXIS, SCENE_AXIS))
+
+
 def create_sharded_state(cfg: RenderConfig, mesh: Mesh) -> RenderState:
-    """RenderState with the accumulator sharded by rows over the mesh."""
-    n = mesh.shape[AXIS]
+    """RenderState with the accumulator sharded by rows over the mesh
+    (1-D rows mode, or the rows axis of a 2-D composed mesh)."""
+    axis = AXIS if AXIS in mesh.shape else ROW_AXIS
+    n = mesh.shape[axis]
     if cfg.height % n:
         raise ValueError(f"height {cfg.height} not divisible by {n} devices")
     accum = jax.device_put(
         jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
-        NamedSharding(mesh, P(AXIS, None, None)))
+        NamedSharding(mesh, P(axis, None, None)))
     n_samples = jax.device_put(jnp.int32(0), NamedSharding(mesh, P()))
     return RenderState(accum=accum, n_samples=n_samples)
 
@@ -82,7 +107,7 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
     index, device index) — what the deterministic band-equivalence test
     reconstructs single-device (tests/test_parallel.py).
     """
-    n_dev = mesh.shape[AXIS]
+    n_dev = mesh.shape.get(AXIS, 0)   # 1-D modes; absent on the 2-D mesh
     if mode == "rows":
         h_local = cfg.height // n_dev
 
@@ -131,10 +156,43 @@ def make_sharded_step(cfg: RenderConfig, mesh: Mesh,
             return accum, n_samples + 1
 
         state_specs = (P(), P())
+    elif mode == "rows_scene":
+        # Composed 2-D sharding: each (row-band, triangle-shard) device
+        # traces ITS band of rays against ITS 1/n_scene of the triangles;
+        # the per-bounce closest-hit all-reduce runs over the scene axis
+        # only (a band's shard group), and bands stay independent — pixels
+        # and accel memory scale simultaneously. RNG folds the ROW index
+        # only: every shard of a band must draw the identical stream (the
+        # all-reduce assumes devices trace the same rays), and a band's
+        # stream is then exactly the 1-D rows-mode stream, which is what
+        # the equivalence test checks against.
+        from .scene_shard import local_accel, make_scene_sharded_tracer
+
+        if cfg.tracer not in ("cluster", "bvh", "pallas"):
+            raise ValueError(
+                f"rows_scene sharding traces per-shard accels (got "
+                f"tracer={cfg.tracer!r}); use cluster/bvh/pallas")
+        n_rows = mesh.shape[ROW_AXIS]
+        n_sc = mesh.shape[SCENE_AXIS]
+        h_local = cfg.height // n_rows
+
+        def local_step(accum, n_samples, scene, camera, accel, key):
+            dev = jax.lax.axis_index(ROW_AXIS)
+            key = jax.random.fold_in(key, dev)
+            tracer = make_scene_sharded_tracer(scene, local_accel(accel),
+                                               cfg, SCENE_AXIS, n_sc)
+            frame = render_sample(scene, tracer, camera, key, cfg,
+                                  row0=dev * h_local, rows=h_local)
+            n = n_samples.astype(jnp.float32)
+            accum = accum * (n / (n + 1.0)) + frame / (n + 1.0)
+            return accum, n_samples + 1
+
+        state_specs = (P(ROW_AXIS, None, None), P())
     else:
         raise ValueError(f"unknown sharding mode {mode!r}")
 
-    accel_spec = P(AXIS) if mode == "scene" else P()
+    accel_spec = (P(AXIS) if mode == "scene"
+                  else P(SCENE_AXIS) if mode == "rows_scene" else P())
     shmapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=state_specs + (P(), P(), accel_spec, P()),
@@ -169,19 +227,25 @@ class ShardedRenderer:
                  mode: str = "rows"):
         self.camera = camera
         self.config = config
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            mesh = (make_mesh() if mode != "rows_scene"
+                    else make_mesh2(len(jax.devices()) // 2, 2))
+        self.mesh = mesh
         rep = NamedSharding(self.mesh, P())
-        if mode == "scene":
+        if mode in ("scene", "rows_scene"):
             # Tensor-parallel axis: 1/n of the triangles (and accel) per
-            # device. Host build -> ONE scatter device_put.
+            # device (per scene-axis shard group on the composed 2-D
+            # mesh). Host build -> ONE scatter device_put.
             from .scene_shard import (shard_scene_accels,
                                       shard_scene_pallas_accels)
+            axis = AXIS if mode == "scene" else SCENE_AXIS
+            n_sc = self.mesh.shape[axis]
             if accel is None:
                 if config.tracer == "pallas":
                     from ..ops.pallas_trace import PallasVmemError
                     try:
                         accel = shard_scene_pallas_accels(
-                            scene, config, self.mesh.shape[AXIS])
+                            scene, config, n_sc)
                     except PallasVmemError as e:
                         # 1/n chunk still over the scoped-VMEM ceiling:
                         # serve tracer="pallas" through HBM-resident
@@ -190,13 +254,11 @@ class ShardedRenderer:
                         # graceful degrade as the single-chip renderer.
                         from ..utils.logging import get_logger
                         get_logger().warn(f"scene shards: {e}")
-                        accel = shard_scene_accels(scene, config,
-                                                   self.mesh.shape[AXIS])
+                        accel = shard_scene_accels(scene, config, n_sc)
                 else:
-                    accel = shard_scene_accels(scene, config,
-                                               self.mesh.shape[AXIS])
+                    accel = shard_scene_accels(scene, config, n_sc)
             self.accel = jax.device_put(accel,
-                                        NamedSharding(self.mesh, P(AXIS)))
+                                        NamedSharding(self.mesh, P(axis)))
         else:
             if accel is None and config.tracer not in ("brute",):
                 from ..ops import bvh
@@ -210,7 +272,7 @@ class ShardedRenderer:
         self._key = jax.random.key(seed, impl=config.rng_impl)
         self._step = make_sharded_step(config, self.mesh, mode)
         self.state = (create_sharded_state(config, self.mesh)
-                      if mode == "rows"
+                      if mode in ("rows", "rows_scene")
                       else RenderState.create(config.width, config.height))
         self.stats = {}
 
@@ -292,7 +354,10 @@ class ShardedRenderer:
 
     def save_state(self, path: str) -> str:
         """Checkpoint the gathered accumulator + RNG key; resumable on any
-        mesh shape (load re-shards by rows)."""
+        mesh shape (load re-shards by rows). Returns the REAL file written
+        (np.savez appends ``.npz`` to names missing it)."""
+        if not path.endswith(".npz"):
+            path += ".npz"
         np.savez(path, accum=self.image,
                  n_samples=np.int32(self.sample_count),
                  key=np.asarray(jax.random.key_data(self._key)))
@@ -302,8 +367,9 @@ class ShardedRenderer:
         data = np.load(path)
         accum = jnp.asarray(data["accum"])
         n = jnp.int32(int(data["n_samples"]))
-        if self.mode == "rows":
-            sharding = NamedSharding(self.mesh, P(AXIS, None, None))
+        if self.mode in ("rows", "rows_scene"):
+            axis = AXIS if self.mode == "rows" else ROW_AXIS
+            sharding = NamedSharding(self.mesh, P(axis, None, None))
             accum = jax.device_put(accum, sharding)
             n = jax.device_put(n, NamedSharding(self.mesh, P()))
         self.state = RenderState(accum=accum, n_samples=n)

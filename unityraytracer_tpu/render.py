@@ -886,7 +886,11 @@ class Renderer:
         The reference's only recovery story is its in-GPU running mean
         (SURVEY.md aux table); here the (accum, n_samples) pair is explicit
         jit-carried state, so a render can resume exactly after a restart.
+        Returns the REAL file written (np.savez appends ``.npz`` to names
+        missing it — the returned path always loads).
         """
+        if not path.endswith(".npz"):
+            path += ".npz"
         np.savez(path, accum=self.image,
                  n_samples=np.int32(self.sample_count),
                  key=np.asarray(jax.random.key_data(self._key)))
