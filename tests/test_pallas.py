@@ -395,7 +395,9 @@ def _set_group_flag(pt, monkeypatch, flag):
 
 @pytest.mark.parametrize("flag,chan_mode", [
     ("PASS_PAIR", "split3"), ("PASS_PAIR", "bf16s3"),
+    ("PASS_PAIR", "int8b4"),
     ("PAIR_PIPE", "split3"), ("PAIR_PIPE", "bf16s3"),
+    ("PAIR_PIPE", "int8b4"),
     ("PASS_QUAD", "split3"), ("PASS_QUAD", "bf16s3"),
     ("PASS_OCT", "split3"),
 ])
@@ -463,18 +465,22 @@ def test_megakernel_group_pass_identity(flag, monkeypatch):
     np.testing.assert_array_equal(img0, img1)
 
 
-@pytest.mark.parametrize("nslot,chan_mode", [
-    (1, "split3"), (3, "bf16s3"), (4, "bf16s3"), (8, "split3"),
+@pytest.mark.parametrize("nslot,chan_mode,smem", [
+    (1, "split3", True), (3, "bf16s3", True),
+    (4, "bf16s3", True), (8, "split3", True),
+    (3, "bf16s3", False), (4, "split3", False),
 ])
-def test_slot_epilogue_matches_brute(nslot, chan_mode, monkeypatch):
+def test_slot_epilogue_matches_brute(nslot, chan_mode, smem, monkeypatch):
     # SLOT_EPI defers the attribute dot + blend + channel writes across
     # nslot fired pair passes (per-pass: exact t/u/v reduces + ROW_GID =
     # slot*2K + lane + 1; per-drain: one iota-rebuilt one-hot, one wide
     # dot over the slots' concatenated chan blocks). nslot=1 drains every
     # pass; 3 exercises a final partial batch; 4/8 the amortized path.
+    # smem toggles SMEM slot registers vs while-loop-carried ids.
     from unityraytracer_tpu.ops import pallas_trace as pt
     monkeypatch.setattr(pt, "PASS_PAIR", True)
     monkeypatch.setattr(pt, "SLOT_EPI", nslot)
+    monkeypatch.setattr(pt, "SLOT_SMEM", smem)
     pa = prepare_pallas_accel(ACCEL, SCENE.materials, chan_mode=chan_mode)
     ro, rd = _rays(2 * TILE + 37, seed=13)
     _assert_matches_brute(SCENE, pa, ro, rd)
@@ -507,6 +513,26 @@ def test_slot_epilogue_cross_word_carry(monkeypatch):
         rng.normal(0, 0.08, (TILE, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     _assert_matches_brute(scene, pa, _to3(ro), _to3(rd))
+
+
+def test_megakernel_int8b4_chan_identity(monkeypatch):
+    # "int8b4" stores the attribute block as four biased byte planes of
+    # the f32 bit pattern and reassembles the winner's bits from the s32
+    # one-hot dot — a bit-exact GATHER of the same attributes, so the
+    # megakernel image must be BIT-IDENTICAL to the split3 default.
+    from unityraytracer_tpu.render import render_sample_mega
+    cam = Camera.create(position=(0, 2.0, -7.0), look_at=(0, 1.0, 0),
+                        fov_y_deg=55.0, aspect=64 / 48)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=3,
+                       tracer="pallas")
+    key = jax.random.key(9)
+    pa0 = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE)
+    img0 = np.asarray(render_sample_mega(SCENE, pa0, cam, key, cfg))
+    pa1 = prepare_pallas_accel(ACCEL, SCENE.materials, scene=SCENE,
+                               chan_mode="int8b4")
+    assert np.asarray(pa1.chan).dtype == np.int8
+    img1 = np.asarray(render_sample_mega(SCENE, pa1, cam, key, cfg))
+    np.testing.assert_array_equal(img0, img1)
 
 
 @pytest.mark.parametrize("nslot", [1, 4])

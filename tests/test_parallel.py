@@ -122,6 +122,34 @@ def _mesh_scene(n_tris=900):
     return fixtures.bench_scene(n_tris=n_tris)
 
 
+def test_sharded_preview_export_surface(tmp_path):
+    """ShardedRenderer carries the FULL preview/export surface (watch /
+    denoise / AOVs / multi-part EXR) via PreviewExportMixin — going
+    multi-chip must not silently drop the Renderer tooling. Scene-sharded
+    modes route AOVs through a lazily-built host LBVH (no single device
+    holds the whole accel)."""
+    import os
+
+    r = ShardedRenderer(SCENE, CAM, CFG, seed=0, mode="rows").step(1)
+    g = r.aovs()
+    assert set(g) >= {"albedo", "normal", "depth", "emission", "hit"}
+    d = r.denoised_image()
+    assert d.shape == (CFG.height, CFG.width, 3) and np.isfinite(d).all()
+    p = r.save_aovs(str(tmp_path / "aov.exr"))
+    assert os.path.getsize(p) > 0
+    prev = tmp_path / "prev.png"
+    r.watch(path=str(prev), every=1, frames=2)
+    assert prev.exists() and r.sample_count == 2
+
+    scene = _mesh_scene()
+    cfgp = CFG.replace(tracer="cluster", cluster_size=16, ray_chunk=1024)
+    cam = Camera.create(position=(0, 10, -30), look_at=(0, 1, 0),
+                        fov_y_deg=60, aspect=1.0)
+    r2 = ShardedRenderer(scene, cam, cfgp, seed=0, mode="scene").step(1)
+    g2 = r2.aovs()
+    assert bool(np.asarray(g2["hit"]).any())
+
+
 def test_rows_scene_composed_2d_mesh_matches_rows():
     """mode="rows_scene" on a 2x4 (rows, scene) mesh: framebuffer bands on
     the major axis, triangle shards + per-bounce closest-hit all-reduce on

@@ -87,9 +87,9 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
     """
     if emit_state:
         st_ref = rest[0]
-        S, ST, A_ref, P_ref, H_ref = rest[1:]
+        S, ST, A_ref, P_ref, H_ref, slot_ref = rest[1:]
     else:
-        S, ST, A_ref, P_ref, H_ref = rest
+        S, ST, A_ref, P_ref, H_ref, slot_ref = rest
     B = pt.BLOCK
     b = pl.program_id(1)
     bg = b + b0                      # global bounce index
@@ -177,7 +177,8 @@ def _path_kernel(n_pages, bounces, b0, emit_state, bin_lo, bin_hi, use_rr,
                 (cxmin_ref, cymin_ref, czmin_ref,
                  cxmax_ref, cymax_ref, czmax_ref),
                 (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-                epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
+                epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes,
+                slot_ref=slot_ref)
 
         # Compact the aligned hit scratch into the 16-row record (so the
         # unpermute matmul stays 16 rows wide), inverse-permute if binned.
@@ -449,7 +450,8 @@ def path_trace(pa, ro, rd, uni, cfg, interpret: bool, *, b0: int = 0,
                         pltpu.VMEM((56, B), jnp.float32),
                         pltpu.VMEM((8, B), jnp.float32),
                         pltpu.VMEM((B, B), jnp.bfloat16),
-                        pltpu.VMEM((16, B), jnp.float32)],
+                        pltpu.VMEM((16, B), jnp.float32),
+                        pltpu.SMEM((2 * max(pt.SLOT_EPI, 1),), jnp.int32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
     )(*ray_in, uni_steps, *pa.gs, *pa.pgb, pa.pgaxd, *pa.cl_cols,

@@ -224,7 +224,11 @@ EPILOGUE_MODE = "full"
 # Attribute-block numeric path for the fused-split geometry modes:
 # "split3" = exact 3-component bf16 dot at DEFAULT ((3*NCHAN, K) operand);
 # "highest" = unsplit f32 block at Precision.HIGHEST ((NCHAN, K) operand —
-# a third of the dynamic-slice staging per hit pass, 6 internal passes).
+# a third of the dynamic-slice staging per hit pass, 6 internal passes);
+# "int8b4" = the f32 bit pattern split into FOUR biased byte planes
+# ((4*NCHAN, K) int8 operand, int8 one-hot pick, s32 accumulation, bytes
+# reassembled + bitcast in-kernel — bit-exact like split3, 2/3 the operand
+# bytes, and the v5e MXU runs int8 at 2x the bf16 rate; pair/group paths).
 CHAN_MODE = "split3"
 
 # Re-test each cluster's AABB against the tile's CURRENT best-t immediately
@@ -354,7 +358,24 @@ PAIR_PIPE = False
 # sequence, and a one-hot dot sums exactly one product regardless of
 # operand width -> bit-identical images. 0 = off; 4/8 are the candidate
 # drain periods (A/B on hardware).
+# MEASURED A LOSS on v5e, BOTH variants (bench scene, r5; control 141.8):
+#   carry-based slot registers: slot=2 158.1, slot=4 153.4, slot=8 271.0
+#   SMEM slot registers:        slot=2 155.7, slot=4 153.2, slot=8 257.8
+# Checksums all IDENTICAL to control (the scheme is correct). The two
+# variants agreeing (±2 ms) ACQUITS the while-loop scalar carry — the
+# cost is the drain itself: the (N*2K, TILE) iota pick rebuild, the 2N
+# dynamic chan slices per drain, and the per-pass winner-record row
+# writes together cost more than the per-pass dots they replace, and
+# scale superlinearly with the drain width (slot=8 pick spans 4096
+# virtual lanes). Together with PAIR_PIPE/lag/gid/step-batch this closes
+# the defer-the-attribute-dot family: on this hardware the immediate
+# one-dot-per-pair epilogue is the measured optimum. Ships 0 (off); the
+# implementation stays as the documented probe (oracle-exact, tested).
 SLOT_EPI = int(_os.environ.get("URT_SLOT_EPI", "0"))
+# Keep the slot cluster ids in SMEM scratch (dynamic scalar stores at
+# fire time, STATIC reads at drain time) instead of while-loop carries:
+# the carry shrinks to (pend, n). Measured == the carry variant (above).
+SLOT_SMEM = _os.environ.get("URT_SLOT_SMEM", "1") == "1"
 # Single-issue geometry: concatenate the edge and plane operands along the
 # OUTPUT lane/sublane axes so each cluster pass issues ONE MXU dot
 # ((k, 4NK) x (k, 3*TILE)) instead of two. Bit-identical results (each
@@ -702,6 +723,58 @@ def _for_set_bits_pair_slot(word, idx_of, fire2s, drain, carry, nslot):
     return jax.lax.while_loop(cond, body, (word, carry))[1]
 
 
+def _for_set_bits_pair_slot_smem(word, idx_of, fire2s, drain, carry,
+                                 nslot, slot_ref):
+    """``_for_set_bits_pair_slot`` with the slot registers in SMEM scratch
+    instead of the while-loop carry. MEASURED rationale: each scalar
+    carried through the visitation loops costs real per-iteration time on
+    Mosaic (the carry variant lost 12-129 ms/frame, superlinear in slot
+    count) — here the carry stays (pend, n) and the cluster ids land in
+    ``slot_ref`` with two dynamic scalar stores per fired pass; the drain
+    reads them back at STATIC indices. ``drain()`` takes no arguments (it
+    closes over slot_ref)."""
+    def ctz(v):
+        return jnp.round(jnp.log2(jnp.abs(
+            v.astype(jnp.float32)))).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] != 0
+
+    def body(c):
+        w, (p, n) = c
+        low0 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        c0 = idx_of(ctz(low0))
+        w_a = jnp.bitwise_xor(w, low0)
+        have_p = p >= 0
+        low1 = jnp.bitwise_and(w_a, jnp.int32(0) - w_a)
+        has1 = w_a != 0
+        c1 = idx_of(ctz(jnp.where(has1, low1, jnp.int32(1))))
+        a = jnp.where(have_p, p, c0)
+        b = jnp.where(have_p, c0, c1)
+        fire = have_p | has1
+
+        @pl.when(fire)
+        def _():
+            slot_ref[2 * n] = a
+            slot_ref[2 * n + 1] = b
+            fire2s(a, b, n)
+
+        full = fire & (n == nslot - 1)
+
+        @pl.when(full)
+        def _():
+            drain()
+
+        nn = jnp.where(full, jnp.int32(0), jnp.where(fire, n + 1, n))
+        new_p = jnp.where(fire, jnp.int32(-1), c0)
+        new_w = jnp.where(have_p, w_a,
+                          jnp.bitwise_xor(
+                              w_a, jnp.where(has1, low1, jnp.int32(0))))
+        return new_w, (new_p, nn)
+
+    return jax.lax.while_loop(cond, body, (word, carry))[1]
+
+
 def _for_set_bits_group(word, idx_of, fire, pend, nslots):
     """Visit set bits in GREEDY GROUPS of ``nslots``: clusters accumulate
     into ``nslots - 1`` pending slots; the last one found fires
@@ -736,6 +809,45 @@ def _for_set_bits_group(word, idx_of, fire, pend, nslots):
         return jnp.bitwise_xor(w, low), (new_slots, nn)
 
     return jax.lax.while_loop(cond, body, (word, pend))[1]
+
+
+def _chan_rpc(chan_mode: str) -> int:
+    """Chan-block rows per cluster for a packing mode."""
+    return 4 * NCHAN if chan_mode == "int8b4" else 3 * NCHAN
+
+
+def _chan_sel(blk, pick):
+    """Winner-attribute dot: (RPC, L) chan block x one-hot pick (L, TILE)
+    -> exact f32 (NCHAN, TILE), dispatched on the BLOCK dtype.
+
+    * bf16/f32: three [h; m; l] component groups, one default-precision
+      dot, thirds summed — exact (24 mantissa bits = 3x8, one-hot sums a
+      single product).
+    * int8 ("int8b4"): four biased byte planes of the f32 BIT PATTERN
+      ([b0; b1; b2; b3], byte-128 each — exact in int8), int8 pick, ONE
+      s32-accumulating MXU dot (2x the bf16 rate on v5e, proven by the
+      env fetch — ops/pallas_env.py:51-55), bytes re-biased and OR-packed
+      back into the f32 bits in-kernel. Columns with no pick reassemble
+      to garbage (0x80808080) — every caller masks its writes.
+    """
+    if blk.dtype == jnp.int8:
+        p = pick.astype(jnp.int8)
+        sel4 = jax.lax.dot_general(
+            blk, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # (4*NCHAN, TILE)
+        b = [sel4[i * NCHAN:(i + 1) * NCHAN, :] + 128 for i in range(4)]
+        word = jnp.bitwise_or(
+            jnp.bitwise_or(b[0], jnp.left_shift(b[1], 8)),
+            jnp.bitwise_or(jnp.left_shift(b[2], 16),
+                           jnp.left_shift(b[3], 24)))
+        return jax.lax.bitcast_convert_type(word, jnp.float32)
+    p = pick.astype(jnp.bfloat16 if blk.dtype == jnp.bfloat16
+                    else jnp.float32)
+    sel3 = jax.lax.dot_general(
+        blk, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (3*NCHAN, TILE)
+    return (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
+            + sel3[2 * NCHAN:3 * NCHAN, :])
 
 
 def _for_set_bits_carry(word, fn, init):
@@ -1000,8 +1112,9 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
     # worth of clusters when only a few rays need each. Permutation rides the
     # MXU as an exact one-hot matmul (see _permute_exact); results are
     # bit-identical to the unbinned kernel.
-    out_chans = out_chans_and_scratch[:-1]
-    S = out_chans_and_scratch[-1]            # (16, BLOCK) scratch
+    out_chans = out_chans_and_scratch[:-2]
+    S = out_chans_and_scratch[-2]            # (SROWS, BLOCK) scratch
+    slot_ref = out_chans_and_scratch[-1]     # SMEM slot registers
 
     ins = jnp.concatenate(
         [rox_ref[0], roy_ref[0], roz_ref[0],
@@ -1046,7 +1159,8 @@ def _trace_kernel(n_pages: int, bin_rays: bool, bbox, geom, merged: bool,
                  (cxmin_ref, cymin_ref, czmin_ref,
                   cxmax_ref, cymax_ref, czmax_ref),
                  (cbx0_ref, cby0_ref, cbz0_ref, cbx1_ref, cby1_ref, cbz1_ref),
-                 epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes)
+                 epl_ref, epn_ref, chan_ref, trav, chan_mode, page_axes,
+                 slot_ref=slot_ref)
 
     OUT = _compact_hit(S)                    # (16, BLOCK)
     if bin_rays:
@@ -1076,7 +1190,7 @@ def _compact_hit(S):
 
 def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                  epl_ref, epn_ref, chan_ref, trav=None, chan_mode=None,
-                 page_axes=None):
+                 page_axes=None, slot_ref=None):
     """Run the page/cluster/triangle machinery for one grid step.
 
     A: (>=7, BLOCK) ray matrix — rows 0-2 origin, 3-5 direction, 6 initial
@@ -1101,7 +1215,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     _groupable = (trav == "bitmask" and not REGATE and not defer
                   and not TRACK_WINNERS and not EPILOGUE_LITE
                   and geom in ("mxu_f6", "mxu_f3", "mxu_pf3")
-                  and chan_mode in ("split3", "bf16s3"))
+                  and chan_mode in ("split3", "bf16s3", "int8b4"))
     group_n = ((8 if PASS_OCT else 4 if PASS_QUAD else 0)
                if _groupable else 0)
     pair = PASS_PAIR and _groupable and not group_n
@@ -1113,6 +1227,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
     # off, as does pipe2 (mutually exclusive deferral schemes).
     slot_epi = (SLOT_EPI if (pair and not pipe2
                              and EPILOGUE_MODE == "full") else 0)
+    slot_smem = bool(slot_epi and SLOT_SMEM and slot_ref is not None)
     assert not (defer and TRACK_WINNERS), \
         "EPILOGUE_DEFER and TRACK_WINNERS share ROW_WC"
     (pgx0_ref, pgy0_ref, pgz0_ref, pgx1_ref, pgy1_ref, pgz1_ref,
@@ -1488,7 +1603,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                     S[ROW_CNT:ROW_CNT + 1, ls] + float(N)
             blk_h = None
             if HOIST_CHAN and not pipe_store and slot_n is None:
-                RPC_h = 3 * NCHAN
+                RPC_h = _chan_rpc(chan_mode)
                 blk_h = jnp.concatenate(
                     [chan_ref[ds8(RPC_h, c, RPC_h), :]
                      for c in cs], axis=1)               # (RPC, NK)
@@ -1586,22 +1701,15 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                         closer, lane_w + 1.0, S[ROW_GID:ROW_GID + 1, ls])
                     return
 
-                RPC = 3 * NCHAN
+                RPC = _chan_rpc(chan_mode)
                 blk = blk_h if blk_h is not None else jnp.concatenate(
                     [chan_ref[ds8(RPC, c, RPC), :]
                      for c in cs], axis=1)                # (RPC, NK)
-                pick = jnp.concatenate(picks, axis=0).astype(
-                    jnp.bfloat16 if blk.dtype == jnp.bfloat16
-                    else jnp.float32)
                 if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan",
                                      "const_pick"):
                     sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # probes
                 else:
-                    sel3 = jax.lax.dot_general(
-                        blk, pick, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                    sel = _chan_sel(blk, jnp.concatenate(picks, axis=0))
                 _chan_writeback(sel, t_sel, u_sel, v_sel, closer)
 
         def cluster_pass2(c0, c1):
@@ -1609,6 +1717,13 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
 
         def cluster_pass2_slot(a, b, n):
             cluster_passN([a, b], slot_n=n)
+
+        def _slot_drain_smem():
+            """SMEM-register drain: cluster ids read back at STATIC
+            indices (slot_ref is zero-initialized per tile, so stale
+            slots hold valid in-range ids whose lanes ROW_GID never
+            references)."""
+            _slot_drain(tuple(slot_ref[j] for j in range(2 * slot_epi)))
 
         def _slot_drain(cids):
             """Amortized attribute resolve of the last <= SLOT_EPI fired
@@ -1621,7 +1736,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             sequence lands the channels. A one-hot dot sums exactly one
             product whatever the operand width, so the written channels
             are bit-identical to the immediate epilogue's."""
-            RPC = 3 * NCHAN
+            RPC = _chan_rpc(chan_mode)
             g_row = S[ROW_GID:ROW_GID + 1, ls]
             valid = g_row > 0.5
 
@@ -1634,14 +1749,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 blk = jnp.concatenate(
                     [chan_ref[ds8(RPC, jnp.maximum(c, 0), RPC), :]
                      for c in cids], axis=1)             # (RPC, L)
-                p_op = pick.astype(
-                    jnp.bfloat16 if blk.dtype == jnp.bfloat16
-                    else jnp.float32)
-                sel3 = jax.lax.dot_general(
-                    blk, p_op, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                       + sel3[2 * NCHAN:3 * NCHAN, :])
+                sel = _chan_sel(blk, pick)
                 u_p = S[ROW_U:ROW_U + 1, ls]
                 v_p = S[ROW_V:ROW_V + 1, ls]
                 _chan_writeback(sel, u_p, u_p, v_p, valid, write_t=False)
@@ -1659,7 +1767,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             pass's compute, so the dot issues immediately. Also captures
             the pending u/v rows before the current pass overwrites them.
             Returns (sel, valid, u_p, v_p)."""
-            RPC = 3 * NCHAN
+            RPC = _chan_rpc(chan_mode)
             g_row = S[ROW_GID:ROW_GID + 1, ls]
             u_p = S[ROW_U:ROW_U + 1, ls]
             v_p = S[ROW_V:ROW_V + 1, ls]
@@ -1674,13 +1782,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 [chan_ref[ds8(RPC, c0s, RPC), :],
                  chan_ref[ds8(RPC, c1s, RPC), :]],
                 axis=1)                                  # (RPC, 2K)
-            p_op = pick.astype(jnp.bfloat16 if blk.dtype == jnp.bfloat16
-                               else jnp.float32)
-            sel3 = jax.lax.dot_general(
-                blk, p_op, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                   + sel3[2 * NCHAN:3 * NCHAN, :])
+            sel = _chan_sel(blk, pick)
             return sel, valid, u_p, v_p
 
         def cluster_pass2_pipe(a, b, pc0, pc1):
@@ -1759,30 +1861,23 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
                        + sel3[2 * NCHAN:3 * NCHAN, :])
             elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3") \
-                    and chan_mode not in ("split3", "bf16s3"):
+                    and chan_mode not in ("split3", "bf16s3", "int8b4"):
                 chan = chan_ref[ds8(NCHAN, c, NCHAN), :]
                 sel = jnp.dot(chan, pick,
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
             elif geom in ("mxu_f6", "mxu_f3", "mxu_pf3"):
-                # Attribute block stored as the three bf16 components
-                # [h; m; l] — an EXACT decomposition (24 mantissa bits =
-                # 3 x 8, and h+m, m+l, and the total are all exactly
-                # representable, so the f32 accumulation reconstructs the
-                # original attribute bit-for-bit). One default-precision
-                # dot (pick is exact 0/1), thirds summed. "bf16s3" stores
-                # the components as NATIVE bf16 (the MXU's operand format)
-                # and feeds a bf16 pick: half the operand staging bytes,
-                # still bit-exact (one-hot {0,1} is exact in bf16; the
-                # products ARE the stored components; accumulate in f32).
-                cblk = chan_ref[ds8(3 * NCHAN, c, 3 * NCHAN), :]
-                p_op = (pick.astype(jnp.bfloat16)
-                        if cblk.dtype == jnp.bfloat16 else pick)
-                sel3 = jax.lax.dot_general(
-                    cblk, p_op, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (3*NCHAN, rays)
-                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                       + sel3[2 * NCHAN:3 * NCHAN, :])
+                # Attribute block stored as three bf16 components [h; m; l]
+                # — an EXACT decomposition (24 mantissa bits = 3 x 8, and
+                # h+m, m+l, and the total are all exactly representable,
+                # so the f32 accumulation reconstructs the original
+                # attribute bit-for-bit; "bf16s3" stores the components AS
+                # bf16, lossless, half the operand staging bytes) — or as
+                # four int8 byte planes of the f32 bit pattern ("int8b4",
+                # also bit-exact: see _chan_sel). One dot either way.
+                RPC = _chan_rpc(chan_mode)
+                cblk = chan_ref[ds8(RPC, c, RPC), :]
+                sel = _chan_sel(cblk, pick)
             else:
                 chan = chan_ref[ds8(NCHAN, c, NCHAN), :]
                 # HIGHEST: default MXU precision would truncate the
@@ -1901,9 +1996,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             remaining id is carried out (a Pallas while_loop cond must be
             pure on the carry — see _resolve_deferred); ROW_GID ends
             all-zero, re-armed for the next grid step."""
-            split = (chan_mode in ("split3", "bf16s3")
+            split = (chan_mode in ("split3", "bf16s3", "int8b4")
                      and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
-            RPC = (3 * NCHAN) if split else NCHAN   # chan rows per cluster
+            RPC = _chan_rpc(chan_mode) if split else NCHAN
 
             def cond(carry):
                 i, gf = carry
@@ -1936,11 +2031,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan"):
                     sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # probes
                 elif split:
-                    sel3 = jax.lax.dot_general(
-                        blk, pick, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                           + sel3[2 * NCHAN:3 * NCHAN, :])
+                    sel = _chan_sel(blk, pick)
                 else:
                     sel = jnp.dot(blk, pick,
                                   precision=jax.lax.Precision.HIGHEST,
@@ -1967,9 +2058,9 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             NEXT pass's geometric dots so both share one MXU issue island.
             Returns (sel, valid): selected channels and the write mask.
             """
-            split = (chan_mode in ("split3", "bf16s3")
+            split = (chan_mode in ("split3", "bf16s3", "int8b4")
                      and geom in ("mxu_f6", "mxu_f3", "mxu_pf3"))
-            RPC = (3 * NCHAN) if split else NCHAN
+            RPC = _chan_rpc(chan_mode) if split else NCHAN
             g_row = S[ROW_GID:ROW_GID + 1, ls]          # lane+1, 0 = none
             valid = (g_row > 0.5) & (c_p >= 0)
             lane = g_row.astype(jnp.int32) - 1
@@ -1979,13 +2070,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
             if EPILOGUE_MODE in ("no_chan", "no_dot", "static_chan"):
                 sel = jnp.zeros((NCHAN, TILE), jnp.float32)  # perf probes
             elif split:
-                p_op = (pick.astype(jnp.bfloat16)
-                        if blk.dtype == jnp.bfloat16 else pick)
-                sel3 = jax.lax.dot_general(
-                    blk, p_op, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                sel = (sel3[0:NCHAN, :] + sel3[NCHAN:2 * NCHAN, :]
-                       + sel3[2 * NCHAN:3 * NCHAN, :])
+                sel = _chan_sel(blk, pick)
             else:
                 sel = jnp.dot(blk, pick,
                               precision=jax.lax.Precision.HIGHEST,
@@ -2187,6 +2272,10 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 elif pipe2:
                     pend = _for_set_bits_pair_pipe(
                         word, idx_of, cluster_pass2_pipe, pend)
+                elif slot_smem:
+                    pend = _for_set_bits_pair_slot_smem(
+                        word, idx_of, cluster_pass2_slot, _slot_drain_smem,
+                        pend, slot_epi, slot_ref)
                 elif slot_epi:
                     pend = _for_set_bits_pair_slot(
                         word, idx_of, cluster_pass2_slot, _slot_drain,
@@ -2264,7 +2353,14 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 cluster_pass(p)        # drain the unpaired leftover
             return
         if pair:
-            if slot_epi:
+            if slot_smem:
+                # Zero the SMEM slot registers (static stores) so stale
+                # drain reads stay in-range, and keep only (pend, n) in
+                # the carry.
+                for j in range(2 * slot_epi):
+                    slot_ref[j] = jnp.int32(0)
+                pend = (jnp.int32(-1), jnp.int32(0))
+            elif slot_epi:
                 pend = (jnp.int32(-1),
                         tuple(jnp.int32(0) for _ in range(2 * slot_epi)),
                         jnp.int32(0))
@@ -2279,13 +2375,17 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                                   w * 32 + dg), p),
                     pend)
             if slot_epi:
-                p, cids, _n = pend
                 # Final drain FIRST (full-width: lanes behind the re-armed
                 # slot count are never referenced by ROW_GID), so the
                 # unpaired single's immediate epilogue runs on a clean
                 # ROW_GID and the channel state matches the non-slotted
                 # write order exactly.
-                _slot_drain(cids)
+                if slot_smem:
+                    p, _n = pend
+                    _slot_drain_smem()
+                else:
+                    p, cids, _n = pend
+                    _slot_drain(cids)
 
                 @pl.when(p >= 0)
                 def _():
@@ -2838,6 +2938,17 @@ def prepare_pallas_accel(accel, materials=None, scene=None, geom=None,
                 # construction — storing them AS bf16 is lossless and halves
                 # both the VMEM block and the MXU operand staging.
                 chan = chan.astype(jnp.bfloat16)  # ml_dtypes-backed, lossless
+        elif chan_mode == "int8b4":
+            # Four biased int8 byte planes of the f32 BIT PATTERN
+            # ([b0; b1; b2; b3] per cluster, byte-128 each — exact in
+            # int8): the kernel's s32 one-hot dot selects the winner's
+            # bytes and reassembles the f32 bit-for-bit (_chan_sel).
+            w = np.ascontiguousarray(
+                chan.reshape(Cp, NCHAN, KSIZE)).view(np.uint32)
+            planes = np.stack([(w >> s) & 0xFF for s in (0, 8, 16, 24)],
+                              axis=1)                # (Cp, 4, NCHAN, K)
+            chan = (planes.astype(np.int32) - 128).astype(np.int8) \
+                .reshape(Cp * 4 * NCHAN, KSIZE)
 
     # Per-page dominant axis codes sign*(axis+1): within each page, which
     # spatial direction does ascending cluster index sweep? (The kd
@@ -3024,7 +3135,8 @@ def _pallas_triangle_trace(pa: PallasAccel, ro, rd, seed, interpret: bool,
         in_specs=[blk_spec] * 7 + [full()] * (6 + 7 + 6 + 6 + 3),
         out_specs=[blk_spec] * N_OUTS,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((SROWS, BLOCK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((SROWS, BLOCK), jnp.float32),
+                        pltpu.SMEM((2 * max(SLOT_EPI, 1),), jnp.int32)],
         compiler_params=None if interpret else params,
         interpret=interpret,
     )(*ray_in, *gs, *pgb, pa.pgaxd, *cl_cols, *pa.cb_rows,

@@ -50,7 +50,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..camera import Camera
 from ..config import RenderConfig
-from ..render import RenderState, get_tracer, render_frame, render_sample
+from ..render import (PreviewExportMixin, RenderState, get_tracer,
+                      render_frame, render_sample)
 from ..scene import Scene
 
 AXIS = "devices"
@@ -219,8 +220,23 @@ def gather_image(state: RenderState) -> np.ndarray:
     return np.asarray(jax.device_get(state.accum))
 
 
-class ShardedRenderer:
-    """Multi-chip progressive renderer (Renderer analog over a mesh)."""
+class ShardedRenderer(PreviewExportMixin):
+    """Multi-chip progressive renderer (Renderer analog over a mesh) —
+    the full preview/export surface (watch/denoise/AOVs/EXR) rides along
+    via PreviewExportMixin."""
+
+    def _aov_accel(self):
+        # AOVs are a cheap single-bounce G-buffer trace through the plain
+        # single-device path; scene-sharded modes have no full-scene accel
+        # on any one device, so build (and cache) a host-side LBVH for it.
+        if self.mode in ("scene", "rows_scene"):
+            if getattr(self, "_aov_accel_cache", None) is None:
+                from ..ops.bvh import build_cluster_accel
+                self._aov_accel_cache = jax.device_put(build_cluster_accel(
+                    self._host_scene.triangles,
+                    cluster_size=self.config.cluster_size))
+            return self._aov_accel_cache
+        return self.accel
 
     def __init__(self, scene: Scene, camera: Camera, config: RenderConfig,
                  mesh: Optional[Mesh] = None, accel=None, seed: int = 0,
@@ -267,6 +283,7 @@ class ShardedRenderer:
             # devices).
             self.accel = (jax.device_put(accel, rep)
                           if accel is not None else None)
+        self._host_scene = scene      # pre-device copy (AOV accel builds)
         self.scene = jax.device_put(scene, rep)
         self.mode = mode
         self._key = jax.random.key(seed, impl=config.rng_impl)

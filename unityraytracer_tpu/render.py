@@ -598,7 +598,142 @@ def progressive_step(state: RenderState, frame: jnp.ndarray) -> RenderState:
     return RenderState(accum=accum, n_samples=state.n_samples + 1)
 
 
-class Renderer:
+class PreviewExportMixin:
+    """Live preview, denoise, and AOV/EXR export, shared by ``Renderer``
+    and ``parallel.sharding.ShardedRenderer`` (multi-chip runs keep the
+    full preview/export surface). Hosts must provide ``step``, ``image``,
+    ``sample_count``, ``state``, ``config``, ``scene``, ``camera``, and
+    ``_aov_accel()`` (an accel usable by a plain single-device
+    ``render_aovs`` trace — the default returns ``self.accel``)."""
+
+    def _aov_accel(self):
+        return self.accel
+
+    def watch(self, path: str = "preview.png", every: int = 4,
+              frames: Optional[int] = None, denoise: bool = True,
+              guided: bool = False, http_port: Optional[int] = None,
+              on_update: Optional[Callable] = None) -> "Renderer":
+        """Progressive live preview — the reference's per-editor-frame
+        display loop (`OnRenderImage`/`Graphics.Blit`,
+        RayTraceMaster.cs:848-866) for a headless box: render ``every``
+        frames per tick, write the (optionally denoised) tonemapped
+        accumulator to ``path`` atomically, repeat until ``frames`` samples
+        have accumulated (None = until KeyboardInterrupt).
+
+        ``http_port`` serves the refreshing preview at
+        ``http://localhost:<port>/`` from a daemon thread. ``on_update``
+        (if given) is called with this renderer after every tick.
+        """
+        import os
+        import tempfile
+        from .utils.image import tonemap_aces, write_png
+
+        if http_port is not None:
+            self._serve_preview(path, http_port)
+        try:
+            while frames is None or self.sample_count < frames:
+                n = every if frames is None \
+                    else min(every, frames - self.sample_count)
+                self.step(n)
+                img = (self.denoised_image(guided=guided) if denoise
+                       else self.image)
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.dirname(os.path.abspath(path)) or ".",
+                    suffix=".png")
+                os.close(fd)
+                write_png(tmp, tonemap_aces(img))
+                os.replace(tmp, path)     # atomic: readers never see a torn file
+                if on_update is not None:
+                    on_update(self)
+        except KeyboardInterrupt:
+            pass
+        return self
+
+    def _serve_preview(self, path: str, port: int) -> None:
+        """Daemon HTTP thread: / auto-refreshes, /preview.png is the file."""
+        import http.server
+        import threading
+
+        html = (b"<html><head><meta http-equiv='refresh' content='2'>"
+                b"<title>unityraytracer_tpu preview</title></head>"
+                b"<body style='background:#111;margin:0'>"
+                b"<img src='/preview.png' style='width:100%'></body></html>")
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(h):
+                if h.path == "/preview.png":
+                    try:
+                        with open(path, "rb") as f:
+                            data = f.read()
+                    except OSError:
+                        h.send_response(404)
+                        h.end_headers()
+                        return
+                    h.send_response(200)
+                    h.send_header("Content-Type", "image/png")
+                    h.send_header("Cache-Control", "no-store")
+                    h.end_headers()
+                    h.wfile.write(data)
+                else:
+                    h.send_response(200)
+                    h.send_header("Content-Type", "text/html")
+                    h.end_headers()
+                    h.wfile.write(html)
+
+            def log_message(h, *a):      # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        self._preview_server = srv
+
+    def aovs(self) -> dict:
+        """First-hit G-buffer (albedo/normal/emission/depth/hit) as device
+        arrays; recomputed per call (cheap single-bounce trace), jitted
+        once per config."""
+        if getattr(self, "_aov_cfg", None) is not self.config:
+            self._aov_cfg = self.config
+            self._aov_fn = jax.jit(
+                functools.partial(render_aovs, cfg=self.config))
+        return self._aov_fn(self.scene, camera=self.camera, accel=self._aov_accel())
+
+    def denoised_image(self, iterations: int = 3,
+                       sigma_color: float = 0.1,
+                       guided: bool = False) -> np.ndarray:
+        """Edge-preserving a-trous denoise of the current accumulator
+        (utils/denoise.py) — preview tool the reference lacks; the
+        progressive mean itself stays untouched/unbiased. ``guided=True``
+        adds albedo/normal edge-stopping from the first-hit G-buffer
+        (texture detail survives aggressive color sigmas)."""
+        from .utils.denoise import atrous_denoise
+
+        kw = {}
+        if guided:
+            g = self.aovs()
+            kw = dict(albedo=g["albedo"], normal=g["normal"])
+        return np.asarray(jax.device_get(
+            jax.jit(atrous_denoise, static_argnums=(1,))(
+                self.state.accum, iterations, sigma_color, **kw)))
+
+    def save_aovs(self, path: str, tonemapped_beauty: bool = False) -> str:
+        """Write beauty + G-buffer AOVs as one multi-part EXR (parts:
+        beauty, albedo, normal, depth, emission) — the multi-layer export
+        path compositors expect."""
+        from .models.exr import write_exr_multipart
+
+        g = {k: np.asarray(jax.device_get(v)) for k, v in self.aovs().items()}
+        beauty = self.image
+        if tonemapped_beauty:
+            from .utils.image import tonemap_aces
+            beauty = tonemap_aces(beauty)
+        write_exr_multipart(path, [
+            ("beauty", beauty), ("albedo", g["albedo"]),
+            ("normal", g["normal"]), ("depth", g["depth"]),
+            ("emission", g["emission"])])
+        return path
+
+
+class Renderer(PreviewExportMixin):
     """Stateful convenience driver around the pure functions.
 
     Mirrors RayTraceMaster's lifecycle: holds (scene, camera, config), jits the
@@ -731,133 +866,12 @@ class Renderer:
         self.stats["device"] = prof
         return prof
 
-    def watch(self, path: str = "preview.png", every: int = 4,
-              frames: Optional[int] = None, denoise: bool = True,
-              guided: bool = False, http_port: Optional[int] = None,
-              on_update: Optional[Callable] = None) -> "Renderer":
-        """Progressive live preview — the reference's per-editor-frame
-        display loop (`OnRenderImage`/`Graphics.Blit`,
-        RayTraceMaster.cs:848-866) for a headless box: render ``every``
-        frames per tick, write the (optionally denoised) tonemapped
-        accumulator to ``path`` atomically, repeat until ``frames`` samples
-        have accumulated (None = until KeyboardInterrupt).
-
-        ``http_port`` serves the refreshing preview at
-        ``http://localhost:<port>/`` from a daemon thread. ``on_update``
-        (if given) is called with this renderer after every tick.
-        """
-        import os
-        import tempfile
-        from .utils.image import tonemap_aces, write_png
-
-        if http_port is not None:
-            self._serve_preview(path, http_port)
-        try:
-            while frames is None or self.sample_count < frames:
-                n = every if frames is None \
-                    else min(every, frames - self.sample_count)
-                self.step(n)
-                img = (self.denoised_image(guided=guided) if denoise
-                       else self.image)
-                fd, tmp = tempfile.mkstemp(
-                    dir=os.path.dirname(os.path.abspath(path)) or ".",
-                    suffix=".png")
-                os.close(fd)
-                write_png(tmp, tonemap_aces(img))
-                os.replace(tmp, path)     # atomic: readers never see a torn file
-                if on_update is not None:
-                    on_update(self)
-        except KeyboardInterrupt:
-            pass
-        return self
-
-    def _serve_preview(self, path: str, port: int) -> None:
-        """Daemon HTTP thread: / auto-refreshes, /preview.png is the file."""
-        import http.server
-        import threading
-
-        html = (b"<html><head><meta http-equiv='refresh' content='2'>"
-                b"<title>unityraytracer_tpu preview</title></head>"
-                b"<body style='background:#111;margin:0'>"
-                b"<img src='/preview.png' style='width:100%'></body></html>")
-
-        class Handler(http.server.BaseHTTPRequestHandler):
-            def do_GET(h):
-                if h.path == "/preview.png":
-                    try:
-                        with open(path, "rb") as f:
-                            data = f.read()
-                    except OSError:
-                        h.send_response(404)
-                        h.end_headers()
-                        return
-                    h.send_response(200)
-                    h.send_header("Content-Type", "image/png")
-                    h.send_header("Cache-Control", "no-store")
-                    h.end_headers()
-                    h.wfile.write(data)
-                else:
-                    h.send_response(200)
-                    h.send_header("Content-Type", "text/html")
-                    h.end_headers()
-                    h.wfile.write(html)
-
-            def log_message(h, *a):      # quiet
-                pass
-
-        srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
-        self._preview_server = srv
 
     @property
     def image(self) -> np.ndarray:
         """Current converged image, (H, W, 3) linear float32, row 0 = top."""
         return np.asarray(jax.device_get(self.state.accum))
 
-    def aovs(self) -> dict:
-        """First-hit G-buffer (albedo/normal/emission/depth/hit) as device
-        arrays; recomputed per call (cheap single-bounce trace), jitted
-        once per config."""
-        if getattr(self, "_aov_cfg", None) is not self.config:
-            self._aov_cfg = self.config
-            self._aov_fn = jax.jit(
-                functools.partial(render_aovs, cfg=self.config))
-        return self._aov_fn(self.scene, camera=self.camera, accel=self.accel)
-
-    def denoised_image(self, iterations: int = 3,
-                       sigma_color: float = 0.1,
-                       guided: bool = False) -> np.ndarray:
-        """Edge-preserving a-trous denoise of the current accumulator
-        (utils/denoise.py) — preview tool the reference lacks; the
-        progressive mean itself stays untouched/unbiased. ``guided=True``
-        adds albedo/normal edge-stopping from the first-hit G-buffer
-        (texture detail survives aggressive color sigmas)."""
-        from .utils.denoise import atrous_denoise
-
-        kw = {}
-        if guided:
-            g = self.aovs()
-            kw = dict(albedo=g["albedo"], normal=g["normal"])
-        return np.asarray(jax.device_get(
-            jax.jit(atrous_denoise, static_argnums=(1,))(
-                self.state.accum, iterations, sigma_color, **kw)))
-
-    def save_aovs(self, path: str, tonemapped_beauty: bool = False) -> str:
-        """Write beauty + G-buffer AOVs as one multi-part EXR (parts:
-        beauty, albedo, normal, depth, emission) — the multi-layer export
-        path compositors expect."""
-        from .models.exr import write_exr_multipart
-
-        g = {k: np.asarray(jax.device_get(v)) for k, v in self.aovs().items()}
-        beauty = self.image
-        if tonemapped_beauty:
-            from .utils.image import tonemap_aces
-            beauty = tonemap_aces(beauty)
-        write_exr_multipart(path, [
-            ("beauty", beauty), ("albedo", g["albedo"]),
-            ("normal", g["normal"]), ("depth", g["depth"]),
-            ("emission", g["emission"])])
-        return path
 
     @property
     def sample_count(self) -> int:
