@@ -23,6 +23,11 @@ now COMPILES AND RUNS at this config — the round-3 HTTP 500 no longer
 reproduces here (compile service updated since). Kept as the standing
 probe; the perf conclusion stands (KSIZE=64 lost 26 ms/frame), so nothing
 ships at 64 either way.
+
+STATUS (round 5, 2026-08-20): re-measured through the FULL 1080p bench
+megakernel at HEAD — KSIZE=64 compiles clean AND loses 246.8 vs 143.1
+ms/frame control (the 128-lane padding tax at full scale). The crash
+chapter is closed; 64 remains measured-out on perf.
 """
 
 import os

@@ -226,6 +226,47 @@ def test_sample_scene_shipped_quality_settings():
     assert rmse(img["mega"], img["brute"]) < 1e-3
 
 
+def test_spp_chunk_weighted_composition_and_cross_tracer():
+    """cfg.spp_chunk renders a high-spp frame as sequential sub-frames
+    under one jit (the HBM cap for the reference's 25-rays/pixel quality
+    preset — at 1080p an unchunked spp=25 dispatch stages 51.8M rays and
+    overflows HBM through the megakernel's uniform rows). Checks:
+    (1) the chunked frame equals the EXACT spp-weighted mean of the
+    manually rendered sub-frames (full chunks at fold_in(key, i), the
+    remainder at fold_in(key, n_full)); (2) chunking sits above tracer
+    dispatch, so pallas and brute stay stream-identical chunked."""
+    from unityraytracer_tpu.models import fixtures
+    from unityraytracer_tpu.render import render_frame
+    from unityraytracer_tpu.utils.image import rmse
+
+    from unityraytracer_tpu.ops.bvh import build_accel
+
+    scene = fixtures.scene1()
+    cam = fixtures.scene1_camera(aspect=1.0)
+    key = jax.random.key(5)
+    cfg = RenderConfig(width=16, height=16, spp=5, bounces=3,
+                       tracer="cluster", ray_chunk=1280, spp_chunk=2)
+    accel = build_accel(scene, cfg)
+    img = np.asarray(render_frame(scene, cfg, cam, key, accel))
+    # Manual composition: 2 full chunks of 2 spp + remainder of 1.
+    sub2 = cfg.replace(spp=2, spp_chunk=None)
+    sub1 = cfg.replace(spp=1, spp_chunk=None)
+    parts = [np.asarray(render_frame(scene, sub2, cam,
+                                     jax.random.fold_in(key, i),
+                                     accel)) * (2 / 5)
+             for i in range(2)]
+    parts.append(np.asarray(render_frame(
+        scene, sub1, cam, jax.random.fold_in(key, 2), accel)) * (1 / 5))
+    # lax.map's in-graph sum reassociates float adds vs the host-side
+    # composition — equality holds to op-order noise.
+    np.testing.assert_allclose(img, np.sum(parts, axis=0),
+                               rtol=1e-4, atol=5e-5)
+    # Cross-tracer stream identity survives chunking.
+    imgb = np.asarray(render_frame(scene, cfg.replace(tracer="brute"),
+                                   cam, key))
+    assert rmse(img, imgb) < 1e-4
+
+
 def test_rng_impl_rbg_cross_tracer():
     """rng_impl="rbg" (XLA RngBitGenerator bits, hardware-RNG on TPU —
     the cheap alternative to ~50M XLA-side threefry words per 1080p frame)

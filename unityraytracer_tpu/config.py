@@ -106,6 +106,18 @@ class RenderConfig:
     # whose deep-bounce survivors stay spatially scattered.
     split_bounce: Optional[int] = None
     split_frac: float = 0.125
+    # Samples-per-pixel dispatched per tracer invocation. None = all of
+    # ``spp`` in one dispatch. High-spp frames scale every path buffer by
+    # spp (the reference's SampleScene quality preset is 25 rays/pixel,
+    # SampleScene.unity:433-434 — 51.8M rays at 1080p, which overflows
+    # HBM through the megakernel's uniform staging); with a chunk the
+    # frame renders as sequential sub-frames of ``spp_chunk`` samples
+    # under ONE jit (lax.map over folded keys) and averages them with
+    # exact spp weights. Unbiased (chunk keys are independent folds) and
+    # tracer-stream-identical (chunking happens above tracer dispatch),
+    # but the pixel<->uniform assignment differs from the unchunked
+    # dispatch, so images match unchunked renders only in distribution.
+    spp_chunk: Optional[int] = None
     # PRNG implementation for the per-frame random streams
     # ("threefry2x32" | "rbg"). "rbg" derives keys with threefry but generates bits with the
     # XLA RngBitGenerator — on TPU that is a hardware instruction, much

@@ -546,8 +546,33 @@ def render_frame(scene: Scene, cfg: RenderConfig, camera: Camera, key,
                  accel=None, row0: int = 0, rows: Optional[int] = None
                  ) -> jnp.ndarray:
     """One sample frame via the best path for cfg: the megakernel when the
-    tracer is Pallas (cfg.megakernel), the generic bounce loop otherwise."""
+    tracer is Pallas (cfg.megakernel), the generic bounce loop otherwise.
+
+    When ``cfg.spp_chunk`` caps the per-dispatch sample count, the frame
+    renders as sequential sub-frames of ``spp_chunk`` samples (lax.map
+    over independently folded keys — one traced body, no graph
+    duplication) plus one remainder sub-frame, averaged with exact
+    spp weights. See RenderConfig.spp_chunk for the estimator notes.
+    """
     from .ops.pallas_trace import PallasAccel
+
+    chunk = getattr(cfg, "spp_chunk", None)
+    if chunk and cfg.spp > chunk:
+        n_full, rem = divmod(cfg.spp, chunk)
+        sub = cfg.replace(spp=chunk, spp_chunk=None)
+
+        def one(k):
+            return render_frame(scene, sub, camera, k, accel, row0, rows)
+
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_full))
+        img = jax.lax.map(one, keys).sum(axis=0) * (chunk / cfg.spp)
+        if rem:
+            subr = cfg.replace(spp=rem, spp_chunk=None)
+            img = img + render_frame(
+                scene, subr, camera, jax.random.fold_in(key, n_full),
+                accel, row0, rows) * (rem / cfg.spp)
+        return img
 
     if (cfg.tracer == "pallas" and getattr(cfg, "megakernel", False)
             and isinstance(accel, PallasAccel) and accel.gs is not None):
