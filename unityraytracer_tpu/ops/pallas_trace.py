@@ -229,6 +229,14 @@ EPILOGUE_MODE = "full"
 # ((4*NCHAN, K) int8 operand, int8 one-hot pick, s32 accumulation, bytes
 # reassembled + bitcast in-kernel — bit-exact like split3, 2/3 the operand
 # bytes, and the v5e MXU runs int8 at 2x the bf16 rate; pair/group paths).
+# MEASURED on v5e (r5, 1080p/100k/8b flagship, interleaved A/B): int8b4
+# 144.07 ms/frame vs split3 144.82 — NEUTRAL within tunnel noise, same
+# oracle RMSE (bit-identical attr path). Confirms the ~650-cycle per-hit-
+# pass cost is the VPU->MXU->VPU serialization LATENCY, not operand width
+# or MXU rate — with SLOT_EPI (both register variants) this closes the
+# attribute-dot hypothesis space: cheaper operands (int8b4), fewer passes
+# (pair/quad), deferred dots (SLOT_EPI/gid), and pipelining (PAIR_PIPE)
+# are ALL neutral-or-loss. split3 stays the default.
 CHAN_MODE = "split3"
 
 # Re-test each cluster's AABB against the tile's CURRENT best-t immediately
@@ -410,6 +418,21 @@ def _col(row):
     return jnp.transpose(row)
 
 
+# Diagnostic probe (off by default): multiply slab entry distances by
+# (1 - URT_CULL_SLACK) before the best-t prune compare, making the cull
+# conservative against f32 rounding in (bmin - ro) * inv (Ize-style robust
+# traversal). Used to rule culling-epsilon OUT as the source of the rare
+# deep-bounce winner flips vs the XLA oracle: the flip pattern is
+# partition-INDEPENDENT (identical diff images at 2 vs 5 shards of the
+# same scene), which only cross-arithmetic t noise explains — prune errors
+# would track the partition's page/cluster boxes.
+CULL_SLACK = float(_os.environ.get("URT_CULL_SLACK", "0.0"))
+
+
+def _entry_slack(ent):
+    return ent * (1.0 - CULL_SLACK) if CULL_SLACK else ent
+
+
 def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
     """(boxes, rays) slab test: box-bound columns vs per-ray rows.
 
@@ -424,7 +447,8 @@ def _outer_aabb(ro, inv, bmin_cols, bmax_cols, best_t_row):
         t2 = (bmax_cols[a] - ro[a]) * inv[a]
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-    return (tmax >= tmin) & (tmax > 0) & (jnp.maximum(tmin, 0.0) < best_t_row)
+    return (tmax >= tmin) & (tmax > 0) \
+        & (_entry_slack(jnp.maximum(tmin, 0.0)) < best_t_row)
 
 
 # Traversal ordering strategy:
@@ -494,7 +518,7 @@ def _outer_aabb_entry(ro, inv, bmin_cols, bmax_cols, best_t_row):
         t2 = (bmax_cols[a] - ro[a]) * inv[a]
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-    ent = jnp.maximum(tmin, 0.0)
+    ent = _entry_slack(jnp.maximum(tmin, 0.0))
     ok = (tmax >= tmin) & (tmax > 0) & (ent < best_t_row)
     return jnp.where(ok, ent, jnp.float32(jnp.inf))
 
@@ -1390,7 +1414,7 @@ def _trace_block(geom, n_pages, order_ax, A, S, pg_refs, cl_refs, cb_refs,
                 tmn = jnp.maximum(tmn, jnp.minimum(t1, t2))
                 tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
             live = ((tmx >= tmn) & (tmx > 0)
-                    & (jnp.maximum(tmn, 0.0) < best_t()))
+                    & (_entry_slack(jnp.maximum(tmn, 0.0)) < best_t()))
 
             @pl.when(jnp.any(live))
             def _():
