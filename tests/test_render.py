@@ -354,3 +354,56 @@ def test_watch_progressive_preview(tmp_path):
         "http://127.0.0.1:18631/preview.png", timeout=5).read()
     assert png[:4] == b"\x89PNG"
     r._preview_server.shutdown()
+
+
+def test_dispatch_bands_composition_and_estimator():
+    """cfg.dispatch_bands renders each frame as n separate horizontal-band
+    dispatches + one accumulate dispatch — the knob that bounds single-
+    dispatch device time (one whole-frame cluster-tracer dispatch at >=1M
+    triangles runs minutes of serial gathers and trips the remote tunnel's
+    execution watchdog, killing the TPU worker — measured on v5e,
+    SCALING_r05 notes). Checks: (1) the banded frame is EXACTLY the manual
+    composition of render_frame band calls under the documented key chain
+    (fold_in(frame_key, band_index), the single-chip analog of mode="rows"
+    sharding's per-device streams), including a ragged last band (height
+    48 over 5 bands = 10x4+8); (2) determinism across renderer instances;
+    (3) the banded estimator converges to the unbanded one (distributional
+    match, like spp_chunk — per-band streams are not bitwise the unbanded
+    draws)."""
+    from unityraytracer_tpu.ops.bvh import build_accel
+    from unityraytracer_tpu.render import render_frame
+    from unityraytracer_tpu.utils.image import rmse
+
+    cfg = CFG.replace(width=32, height=48, bounces=3, tracer="cluster",
+                      ray_chunk=1536)
+    bcfg = cfg.replace(dispatch_bands=5)
+    accel = build_accel(SCENE, cfg)
+    b = Renderer(SCENE, CAM, bcfg, seed=7, accel=accel).step(1)
+    # (1) manual composition under the documented key chain.
+    key = jax.random.key(7)
+    _, sub = jax.random.split(key)
+    fkey = jax.random.fold_in(sub, 0)
+    # Jitted like the renderer's band fn (an eager render_frame fuses
+    # differently and lands ~4e-5 away in op-order noise).
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def band(scene, camera, key, row0, rows, _accel=accel, _cfg=cfg):
+        return render_frame(scene, _cfg, camera, key, _accel,
+                            row0=row0, rows=rows)
+
+    parts = [np.asarray(band(SCENE, CAM, jax.random.fold_in(fkey, bi),
+                             jnp.int32(row0), min(10, 48 - row0)))
+             for bi, row0 in enumerate(range(0, 48, 10))]
+    np.testing.assert_array_equal(np.asarray(b.state.accum),
+                                  np.concatenate(parts, axis=0))
+    assert b.sample_count == 1
+    # (2) determinism.
+    b2 = Renderer(SCENE, CAM, bcfg, seed=7, accel=accel).step(1)
+    np.testing.assert_array_equal(np.asarray(b.state.accum),
+                                  np.asarray(b2.state.accum))
+    # (3) estimator match: 24-frame averages agree within Monte-Carlo
+    # noise of this scene/size (empirically ~1e-2; bound at 5e-2).
+    bm = Renderer(SCENE, CAM, bcfg, seed=3, accel=accel).step(24)
+    um = Renderer(SCENE, CAM, cfg, seed=3, accel=accel).step(24)
+    assert rmse(bm.image, um.image) < 5e-2

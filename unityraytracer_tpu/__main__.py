@@ -88,7 +88,8 @@ def _make_renderer(args):
         tracer = "cluster"  # scene sharding traces HBM-resident (see docs)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        bounces=args.bounces, tracer=tracer,
-                       wavefront=True, rng_impl=args.rng)
+                       wavefront=True, rng_impl=args.rng,
+                       dispatch_bands=args.bands)
     scene, cam = _build_scene(args)
     if shard:
         from .parallel.sharding import ShardedRenderer
@@ -118,6 +119,10 @@ def _add_common(p):
     p.add_argument("--rng", default="threefry2x32",
                    help="threefry2x32|rbg (rbg = TPU hardware bits)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bands", type=int, default=None,
+                   help="render each frame as N band dispatches (bounds "
+                        "single-dispatch device time for huge HBM-tier "
+                        "scenes; see RenderConfig.dispatch_bands)")
     p.add_argument("--frames", type=int, default=32,
                    help="progressive samples to accumulate")
     p.add_argument("--tris", type=int, default=100_000,

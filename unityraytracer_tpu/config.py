@@ -118,6 +118,22 @@ class RenderConfig:
     # but the pixel<->uniform assignment differs from the unchunked
     # dispatch, so images match unchunked renders only in distribution.
     spp_chunk: Optional[int] = None
+    # Host-banded frame dispatch. None/1 = whole frame per dispatch; n > 1
+    # makes Renderer.step render each frame as n horizontal-band dispatches
+    # (render_frame row0/rows) plus one combine/accumulate dispatch. Each
+    # band folds the frame key by its band index — the single-chip analog
+    # of mode="rows" sharding's per-device streams — so banded renders are
+    # deterministic and unbiased but (like spp_chunk) match unbanded
+    # dispatches in distribution, not bitwise. Bounds single-dispatch
+    # device time. That is the tier-3
+    # survival lever on remote-execution tunnels: one whole-frame cluster-
+    # tracer dispatch at >=1M triangles runs for minutes of serial gathers
+    # and trips the tunnel's execution watchdog (kills the TPU worker,
+    # measured on v5e); banded dispatches stay under it. Costs n-1 extra
+    # dispatch latencies per frame — leave unset for kernel-tier scenes.
+    # With tracer="pallas", choose n so band heights stay multiples of 8
+    # (the 8x16 pixel blocking).
+    dispatch_bands: Optional[int] = None
     # PRNG implementation for the per-frame random streams
     # ("threefry2x32" | "rbg"). "rbg" derives keys with threefry but generates bits with the
     # XLA RngBitGenerator — on TPU that is a hardware instruction, much

@@ -800,7 +800,57 @@ class Renderer(PreviewExportMixin):
             # RayTraceMaster.cs:806-810; a TPU frame driver need not).
             return jax.lax.fori_loop(0, n_frames, body, state)
 
+        if getattr(cfg, "dispatch_bands", None) and cfg.dispatch_bands > 1:
+            self._band_fn, self._band_accum = self._build_band_step()
         return step
+
+    def _build_band_step(self):
+        """Banded frame dispatch (cfg.dispatch_bands): one jitted band
+        renderer (row0 traced, rows static — at most two compiles for a
+        ragged last band) plus one accumulate dispatch. Each band folds
+        the frame key by its band index — the single-chip analog of
+        ``mode="rows"`` sharding's per-device streams (parallel/
+        sharding.py:116-119) — so the result is deterministic and every
+        band is an independent unbiased estimator; like spp_chunk, it
+        matches the whole-frame dispatch in distribution, not bitwise.
+        Only the per-dispatch device time shrinks (the tunnel-watchdog
+        survival lever for tier-3 scale — see
+        RenderConfig.dispatch_bands)."""
+        cfg = self.config
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def band(scene, camera, accel, key, row0, rows):
+            return render_frame(scene, cfg, camera, key, accel,
+                                row0=row0, rows=rows)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def accum(state, *bands):
+            return progressive_step(state, jnp.concatenate(bands, axis=0))
+
+        return band, accum
+
+    def _step_banded(self, n_frames: int) -> None:
+        cfg = self.config
+        nb, H = cfg.dispatch_bands, cfg.height
+        bh = -(-H // nb)
+        for _ in range(n_frames):
+            self._key, sub = jax.random.split(self._key)
+            # Same frame key as the fused body: fold by absolute sample
+            # index (a cheap scalar fetch through the tunnel).
+            n = int(np.asarray(jax.device_get(self.state.n_samples)))
+            fkey = jax.random.fold_in(sub, n)
+            bands = []
+            for bi, row0 in enumerate(range(0, H, bh)):
+                rows = min(bh, H - row0)
+                bkey = jax.random.fold_in(fkey, bi)
+                bands.append(self._band_fn(self.scene, self.camera,
+                                           self.accel, bkey,
+                                           jnp.int32(row0), rows))
+                # Fetch-sync each band: keeps at most ONE band dispatch
+                # outstanding so queued bands cannot re-form a watchdog-
+                # length device backlog.
+                np.asarray(jax.device_get(bands[-1][0, 0, 0]))
+            self.state = self._band_accum(self.state, *bands)
 
     # -- invalidation (RayTraceMaster.cs:765-768,852) -------------------------
     def reset(self):
@@ -835,7 +885,10 @@ class Renderer(PreviewExportMixin):
         import time as _time
 
         t0 = _time.perf_counter()
-        if fused:
+        if getattr(self.config, "dispatch_bands", None) \
+                and self.config.dispatch_bands > 1:
+            self._step_banded(n_frames)
+        elif fused:
             self._key, sub = jax.random.split(self._key)
             self.state = self._compiled(self.state, self.scene, self.camera,
                                         self.accel, sub, n_frames)
