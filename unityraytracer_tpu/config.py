@@ -142,6 +142,14 @@ class RenderConfig:
     # tracer for a given key (the cross-tracer golden/oracle gates hold for
     # any impl); they differ BETWEEN impls, so changing this changes the
     # noise pattern, not the estimator. Default is JAX's default threefry.
+    # PORTABILITY: "rbg" bits are BACKEND-SPECIFIC (XLA RngBitGenerator is
+    # free to differ across TPU/CPU/compiler versions; measured: the same
+    # key draws entirely different words on v5e vs XLA:CPU), while
+    # threefry is counter-based and bit-identical everywhere. Any
+    # cross-backend comparison (e.g. rendering an oracle on CPU against a
+    # TPU render) must therefore run both sides on ONE backend or use
+    # threefry — under "rbg" the two images are independent estimates of
+    # the same integral, not comparable pixelwise.
     rng_impl: str = "threefry2x32"
 
     @property
