@@ -274,7 +274,7 @@ def build_accel(scene: Scene, cfg):
                                               scene.materials)
             from ..utils.logging import get_logger
             get_logger().warn(
-                f"sharded Pallas accel: {len(sh.shards)} shards "
+                f"sharded Pallas accel: {sh.n_shards} shards "
                 "(per-bounce path; megakernel needs the scene resident)")
             return sh
         except (PallasVmemError, ValueError) as e:

@@ -64,7 +64,8 @@ from ..scene import Scene, Triangles
 from ..utils.math3d import INF
 from .bvh import ClusterAccel
 from .shade import Hit
-from .trace import _ground_candidate, _sphere_candidate, combine_candidates
+from .trace import (_ground_candidate, _sphere_candidate,
+                    combine_candidates, fold_candidate)
 
 import os as _os
 
@@ -501,6 +502,15 @@ PAGE_AXES = True
 # valid — winner), strictly better ordering on scenes whose kd pages
 # zigzag harder.
 PAGE_SORT = True
+
+# Sharded-tier (ShardedPallasAccel) chain via ONE lax.scan over the
+# stacked shards instead of a Python loop of per-shard pallas_calls: the
+# kernel traces + Mosaic-compiles once for any shard count (the loop paid
+# one compile per shard — ~36 min cold at 16 shards through the shared
+# remote-compile queue — because per-shard statics baked distinct
+# kernels). Output-identical to the loop (strict '<' left-fold rides the
+# scan carry). False restores the loop for A/B.
+SHARD_SCAN = True
 
 _INF_I32 = int(np.float32(np.inf).view(np.int32))      # +inf bit pattern
 _CUT_I32 = int(np.float32(1e29).view(np.int32))        # "padded box" cutoff
@@ -3042,9 +3052,28 @@ class ShardedPallasAccel:
     tracer chains the shards through the kernel's best-t seed — shard i+1
     culls against everything shards 0..i already hit — and the XLA combine
     picks the global closest. Exact: same winner as a single accel.
+
+    Shards are stored STACKED (one PallasAccel whose array leaves carry a
+    leading shard axis; every shard padded to identical shapes and
+    identical statics) so the tracer can ``lax.scan`` over them: the
+    kernel is then traced and Mosaic-compiled ONCE regardless of shard
+    count. With one accel per shard in a Python loop, every shard
+    compiled its own kernel even at identical shapes, because per-shard
+    statics (``order_ax``, ``bbox``) were baked into distinct kernels —
+    measured 36 min cold at 16 shards through the shared remote-compile
+    queue, ~linear in shard count.
     """
 
-    shards: Tuple[PallasAccel, ...]
+    stacked: PallasAccel             # leaves: (n_shards, ...) per field
+    n_shards: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def shards(self) -> Tuple[PallasAccel, ...]:
+        """Per-shard views (leaf slices; statics shared) — introspection
+        and the non-scan fallback path."""
+        return tuple(
+            jax.tree_util.tree_map(lambda a, k=k: a[k], self.stacked)
+            for k in range(self.n_shards))
 
 
 def _est_shard_tris() -> int:
@@ -3071,7 +3100,18 @@ def prepare_pallas_accel_sharded(accel, materials=None, *,
     """Split the scene into VMEM-sized kernel accels (see
     ShardedPallasAccel). ``max_shard_tris`` overrides the budget-derived
     shard size (tests). Raises PallasVmemError if even a shard overflows
-    (callers fall back to the cluster tracer)."""
+    (callers fall back to the cluster tracer).
+
+    Shards are EQUAL-SIZED (the last one padded with degenerate point
+    triangles anchored at its final real vertex — det == 0 is rejected by
+    the kernel's front test and the point AABB sits inside the shard, the
+    ``shard_scene_pallas_accels`` convention) and share normalized statics
+    (global ``bbox``, shard-0 ``order_ax`` — both perf-only: bbox seeds
+    the binning quantization, order_ax is the page-axis fallback; the
+    per-page ``pgaxd`` codes that actually drive visitation stay
+    per-shard array leaves). Identical shapes + identical statics let the
+    shards stack into ONE PallasAccel the tracer scans over, so the
+    kernel compiles once for any shard count."""
     from ..scene import Triangles
 
     tr = getattr(accel, "triangles", accel)
@@ -3079,24 +3119,47 @@ def prepare_pallas_accel_sharded(accel, materials=None, *,
     T = len(v0)
     cap = max_shard_tris or _est_shard_tris()
     n_shards = max(1, -(-T // cap))
+    per = -(-T // n_shards)
     # ONE global kd order; shards are contiguous ranges of it.
     cent = ((np.asarray(tr.v0) + np.asarray(tr.v1) + np.asarray(tr.v2))
             / 3.0).astype(np.float64)
     perm = _median_split_order(cent, KSIZE) if T > KSIZE else np.arange(T)
-    bounds = np.linspace(0, T, n_shards + 1).round().astype(np.int64)
 
-    def take(a, idx):
-        return np.ascontiguousarray(np.asarray(a)[idx])
+    def take(a, idx, pad, fill):
+        out = np.asarray(a)[idx]
+        if pad:
+            out = np.concatenate([out, np.repeat(fill, pad, axis=0)])
+        return np.ascontiguousarray(out)
 
     shards = []
     for k in range(n_shards):
-        idx = perm[bounds[k]:bounds[k + 1]]
-        sub = Triangles(v0=take(tr.v0, idx), v1=take(tr.v1, idx),
-                        v2=take(tr.v2, idx), n0=take(tr.n0, idx),
-                        n1=take(tr.n1, idx), n2=take(tr.n2, idx),
-                        material_id=take(tr.material_id, idx))
+        idx = perm[k * per:(k + 1) * per]
+        pad = per - len(idx)
+        anchor = (np.asarray(tr.v0)[idx[-1:]] if len(idx)
+                  else np.zeros((1, 3), np.float32))
+        zero3 = np.zeros((1, 3), np.float32)
+        zmid = np.zeros((1,), np.asarray(tr.material_id).dtype)
+        sub = Triangles(v0=take(tr.v0, idx, pad, anchor),
+                        v1=take(tr.v1, idx, pad, anchor),
+                        v2=take(tr.v2, idx, pad, anchor),
+                        n0=take(tr.n0, idx, pad, zero3),
+                        n1=take(tr.n1, idx, pad, zero3),
+                        n2=take(tr.n2, idx, pad, zero3),
+                        material_id=take(tr.material_id, idx, pad, zmid))
         shards.append(prepare_pallas_accel(sub, materials, **prep_kw))
-    return ShardedPallasAccel(shards=tuple(shards))
+
+    if T:
+        gv0, gv1, gv2 = v0[perm], np.asarray(tr.v1)[perm], \
+            np.asarray(tr.v2)[perm]
+        lo = np.minimum(np.minimum(gv0, gv1), gv2).min(axis=0)
+        hi = np.maximum(np.maximum(gv0, gv1), gv2).max(axis=0)
+        bbox = tuple(float(x) for x in np.concatenate([lo, hi]))
+    else:
+        bbox = shards[0].bbox
+    shards = [s.replace(bbox=bbox, order_ax=shards[0].order_ax)
+              for s in shards]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *shards)
+    return ShardedPallasAccel(stacked=stacked, n_shards=n_shards)
 
 
 N_OUTS = 14  # t + normal(3) + albedo(3) + specular(3) + emission(3) + smooth
@@ -3281,10 +3344,32 @@ def make_pallas_tracer(scene: Scene, accel, cfg, interpret: bool = None):
             seed = jnp.minimum(cands[0]["t"], cands[1]["t"])
             if alive is not None:
                 seed = jnp.where(alive, seed, 0.0)
-            if sharded:
+            if sharded and SHARD_SCAN and accel.n_shards > 1:
                 # Chain shards through the tightening best-t seed: shard
-                # i+1 culls against everything 0..i hit; combine picks the
-                # global closest (exact — same winner as a single accel).
+                # i+1 culls against everything 0..i hit (exact — same
+                # winner as a single accel). lax.scan over the STACKED
+                # shard accel traces + compiles the kernel ONCE for any
+                # shard count (the Python loop compiled one kernel per
+                # shard: ~36 min cold at 16 shards); the nearest-wins
+                # fold rides the carry, so this reproduces the
+                # loop+combine left-fold exactly (strict '<': a later
+                # shard can never tie an earlier one — its kernel only
+                # reports hits strictly inside the tightened seed).
+                best = fold_candidate(cands[0], cands[1])
+
+                def shard_step(carry, sh):
+                    seed, best = carry
+                    cand = _triangle_pallas_candidate(
+                        sh, ro, rd, interpret, seed, bin_rays)
+                    return (jnp.minimum(seed, cand["t"]),
+                            fold_candidate(best, cand)), None
+
+                (_, best), _ = jax.lax.scan(
+                    shard_step, (seed, best), accel.stacked)
+                cands = [best]
+            elif sharded:
+                # Non-scan fallback (SHARD_SCAN=False A/B control): one
+                # kernel per shard through per-shard leaf views.
                 for sh in accel.shards:
                     cand = _triangle_pallas_candidate(sh, ro, rd, interpret,
                                                       seed, bin_rays)

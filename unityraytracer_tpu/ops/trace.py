@@ -151,6 +151,21 @@ def _triangle_candidate(scene: Scene, ro: Vec3, rd: Vec3):
                 **materials_for(scene, tr.material_id[best]))
 
 
+def fold_candidate(best, c):
+    """One strict nearest-wins fold step over full-material candidate
+    dicts (the left-fold unit of ``combine_candidates``; also the
+    ``lax.scan`` carry update of the sharded Pallas chain)."""
+    closer = c["t"] < best["t"]
+    return dict(
+        t=jnp.where(closer, c["t"], best["t"]),
+        normal=vec.where(closer, c["normal"], best["normal"]),
+        albedo=vec.where(closer, c["albedo"], best["albedo"]),
+        specular=vec.where(closer, c["specular"], best["specular"]),
+        emission=vec.where(closer, c["emission"], best["emission"]),
+        smoothness=jnp.where(closer, c["smoothness"], best["smoothness"]),
+    )
+
+
 def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
     """Nearest-wins merge of full-material candidates (gather-free).
 
@@ -159,15 +174,7 @@ def combine_candidates(scene: Scene, ro: Vec3, rd: Vec3, candidates) -> Hit:
     """
     best = candidates[0]
     for c in candidates[1:]:
-        closer = c["t"] < best["t"]
-        best = dict(
-            t=jnp.where(closer, c["t"], best["t"]),
-            normal=vec.where(closer, c["normal"], best["normal"]),
-            albedo=vec.where(closer, c["albedo"], best["albedo"]),
-            specular=vec.where(closer, c["specular"], best["specular"]),
-            emission=vec.where(closer, c["emission"], best["emission"]),
-            smoothness=jnp.where(closer, c["smoothness"], best["smoothness"]),
-        )
+        best = fold_candidate(best, c)
     bt = best["t"]
     pos = vec.add(ro, vec.scale(rd, bt))
     return Hit(t=bt, position=pos, normal=best["normal"],
